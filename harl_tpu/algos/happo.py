@@ -1,0 +1,150 @@
+"""HAPPO actor update (pure-functional, jit-compiled).
+
+Parity target: ``harl/algorithms/actors/happo.py`` + the on-policy base
+(``on_policy_base.py``). One call to ``update`` performs the full
+per-agent training step of the reference ``HAPPO.train``:
+  * EP advantage re-normalization with the agent's active mask
+    (happo.py:122-127),
+  * ``ppo_epoch`` epochs × ``actor_num_mini_batch`` shuffled minibatches
+    (feed_forward_generator_actor, on_policy_actor_buffer.py:114-178),
+  * PPO-clip surrogate re-weighted by the HARL factor with active-mask
+    normalization (happo.py:66-91), entropy bonus, global-norm grad clip.
+
+All of it is expressed as a single ``lax.scan`` over (epoch × minibatch)
+slices so the whole agent update is one fused XLA program.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from harl_tpu.algos.common import AgentTrainState, aggregate_ratio, global_grad_norm
+from harl_tpu.models.act import act_evaluate
+from harl_tpu.ops.returns import normalize_advantages_masked
+
+
+class ActorBatch(NamedTuple):
+    """One agent's rollout slice, time-major (T, B, ·) — the actor buffer rows
+    actually consumed by training (obs[:-1], masks[:-1], … in the reference)."""
+
+    obs: jnp.ndarray            # (T, B, obs_dim)
+    rnn_states: jnp.ndarray     # (T, B, L, H) — rnn state at input of step t
+    actions: jnp.ndarray        # (T, B, act_dim)
+    logp: jnp.ndarray           # (T, B, lp) — behavior log-probs from rollout
+    masks: jnp.ndarray          # (T, B, 1)
+    active_masks: jnp.ndarray   # (T, B, 1)
+    available_actions: Optional[jnp.ndarray]  # (T, B, n_act) or None
+
+
+def _flat(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+class HAPPOActor:
+    """Factory binding the policy module, action space and config into jittable
+    update functions. Stateless; all state lives in AgentTrainState."""
+
+    def __init__(self, policy, action_space, tx: optax.GradientTransformation, cfg: dict):
+        self.policy = policy
+        self.action_space = action_space
+        self.tx = tx
+        self.clip_param = cfg["clip_param"]
+        self.ppo_epoch = cfg["ppo_epoch"]
+        self.num_mini_batch = cfg["actor_num_mini_batch"]
+        self.entropy_coef = cfg["entropy_coef"]
+        self.use_policy_active_masks = cfg.get("use_policy_active_masks", True)
+        self.action_aggregation = cfg.get("action_aggregation", "prod")
+        self.std_x_coef = cfg.get("std_x_coef", 1.0)
+        self.std_y_coef = cfg.get("std_y_coef", 0.5)
+
+    def init(self, key, example_obs) -> Any:
+        return self.policy.init(key, example_obs)
+
+    # -- forward helpers ----------------------------------------------------
+    def evaluate_logp(self, params, batch: ActorBatch) -> jnp.ndarray:
+        """Full-batch behavior log-probs (the factor evaluations at
+        on_policy_ha_runner.py:66-83,96-113). Returns (T·B, lp)."""
+        head, _ = self.policy.apply(params, _flat(batch.obs))
+        ev = act_evaluate(
+            head,
+            self.action_space,
+            _flat(batch.actions),
+            None if batch.available_actions is None else _flat(batch.available_actions),
+            _flat(batch.active_masks),
+            self.std_x_coef,
+            self.std_y_coef,
+        )
+        return ev.log_probs
+
+    # -- training -----------------------------------------------------------
+    def update(
+        self,
+        state: AgentTrainState,
+        batch: ActorBatch,
+        advantages: jnp.ndarray,  # (T, B, 1) un-normalized EP advantages
+        factor: jnp.ndarray,      # (T, B, 1)
+        key,
+        state_type: str = "EP",
+    ):
+        """Full HAPPO.train for one agent. Returns (new_state, stats)."""
+        T, B = batch.obs.shape[:2]
+        M = T * B
+        mb_size = M // self.num_mini_batch
+
+        if state_type == "EP":
+            advantages = normalize_advantages_masked(advantages, batch.active_masks)
+
+        obs = _flat(batch.obs)
+        actions = _flat(batch.actions)
+        old_logp = _flat(batch.logp)
+        active = _flat(batch.active_masks)
+        avail = None if batch.available_actions is None else _flat(batch.available_actions)
+        adv = _flat(advantages)
+        fac = _flat(factor)
+
+        # epoch-wise shuffles stacked into one index tensor
+        perms = jax.vmap(lambda k: jax.random.permutation(k, M))(
+            jax.random.split(key, self.ppo_epoch)
+        )  # (E, M)
+        idx = perms.reshape(self.ppo_epoch * self.num_mini_batch, mb_size)
+
+        def loss_fn(params, mb_idx):
+            o = jnp.take(obs, mb_idx, axis=0)
+            a = jnp.take(actions, mb_idx, axis=0)
+            olp = jnp.take(old_logp, mb_idx, axis=0)
+            am = jnp.take(active, mb_idx, axis=0)
+            ad = jnp.take(adv, mb_idx, axis=0)
+            fc = jnp.take(fac, mb_idx, axis=0)
+            av = None if avail is None else jnp.take(avail, mb_idx, axis=0)
+            head, _ = self.policy.apply(params, o)
+            ev = act_evaluate(head, self.action_space, a, av, am,
+                              self.std_x_coef, self.std_y_coef)
+            ratio = aggregate_ratio(ev.log_probs - olp, self.action_aggregation)
+            surr1 = ratio * ad
+            surr2 = jnp.clip(ratio, 1.0 - self.clip_param, 1.0 + self.clip_param) * ad
+            obj = jnp.sum(fc * jnp.minimum(surr1, surr2), axis=-1, keepdims=True)
+            if self.use_policy_active_masks:
+                policy_loss = -jnp.sum(obj * am) / jnp.maximum(jnp.sum(am), 1e-9)
+            else:
+                policy_loss = -jnp.mean(obj)
+            total = policy_loss - ev.entropy * self.entropy_coef
+            return total, (policy_loss, ev.entropy, jnp.mean(ratio))
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def minibatch_step(st: AgentTrainState, mb_idx):
+            (_, aux), grads = grad_fn(st.params, mb_idx)
+            gnorm = global_grad_norm(grads)
+            updates, new_opt = self.tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            policy_loss, entropy, ratio = aux
+            return AgentTrainState(new_params, new_opt), jnp.stack(
+                [policy_loss, entropy, gnorm, ratio]
+            )
+
+        state, stats = jax.lax.scan(minibatch_step, state, idx)
+        stats = jnp.mean(stats, axis=0)  # [policy_loss, dist_entropy, grad_norm, ratio]
+        return state, stats

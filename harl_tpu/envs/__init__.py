@@ -1,0 +1,25 @@
+"""Environment registry (reference: harl/envs/__init__.py + envs_tools factories)."""
+from __future__ import annotations
+
+
+def make_env(env_name: str, env_args: dict):
+    """Construct a pure-JAX env object implementing reset/step + space attrs."""
+    if env_name in ("pettingzoo_mpe", "mpe"):
+        from harl_tpu.envs.mpe.mpe import make_mpe
+
+        scenario = env_args.get("scenario", "simple_spread")
+        # accept reference-style suffixed names, e.g. "simple_spread_v2"
+        for suffix in ("_v3", "_v2"):
+            if scenario.endswith(suffix):
+                scenario = scenario[: -len(suffix)]
+        kwargs = {}
+        if "max_cycles" in env_args:
+            kwargs["max_cycles"] = env_args["max_cycles"]
+        if "local_ratio" in env_args:
+            kwargs["local_ratio"] = env_args["local_ratio"]
+        return make_mpe(
+            scenario,
+            continuous_actions=env_args.get("continuous_actions", True),
+            **kwargs,
+        )
+    raise ValueError(f"Unknown env {env_name!r}")

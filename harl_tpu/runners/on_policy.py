@@ -1,0 +1,459 @@
+"""On-policy HARL runner: one jitted program per training iteration.
+
+Replaces the host-side orchestration of the reference
+(``harl/runners/on_policy_base_runner.py`` + ``on_policy_ha_runner.py``) with a
+single XLA-compiled ``train_iteration``:
+
+  rollout  — ``lax.scan`` over ``episode_length`` steps of the vmapped env
+             batch (replacing the per-step Pipe round-trips and per-agent GPU
+             forwards of on_policy_base_runner.py:203-243);
+  returns  — GAE via reverse scan (ops.returns) on de-normalized values;
+  update   — the HARL sequential-update scheme over agents with the factor as
+             loop carry (on_policy_ha_runner.py:47-124). Random agent order is
+             a ``lax.switch`` over per-agent update branches driven by
+             ``jax.random.permutation``; fixed order unrolls directly;
+  critic   — VCritic epochs (algos.critics) + ValueNorm state threading.
+
+Mask bookkeeping parity (on_policy_base_runner.py:342-460):
+  masks[t+1]        = 0 where env done at step t (all agents done)
+  active_masks[t+1] = 0 where agent died at t, reset to 1 on env done
+  bad_masks[t+1]    = 0 where the step was a truncation (bad_transition)
+  rnn states zeroed on env done.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from harl_tpu.algos.common import AgentTrainState, aggregate_ratio, make_optimizer
+from harl_tpu.algos.critics import CriticBatch, VCritic
+from harl_tpu.algos.happo import ActorBatch, HAPPOActor
+from harl_tpu.envs.core import VecEnv, auto_reset_step
+from harl_tpu.models.act import act_sample
+from harl_tpu.models.policies import StochasticPolicy
+from harl_tpu.models.values import VNet
+from harl_tpu.ops.returns import compute_discounted_returns, compute_gae
+from harl_tpu.ops.value_norm import (
+    ValueNormState,
+    denormalize,
+    init_value_norm,
+)
+from harl_tpu.utils import spaces
+
+
+class RolloutCarry(NamedTuple):
+    env_state: Any
+    obs: jnp.ndarray           # (B, N, max_obs_dim)
+    share_obs: jnp.ndarray     # (B, ds)
+    masks: jnp.ndarray         # (B, N, 1)
+    active_masks: jnp.ndarray  # (B, N, 1)
+    avail: Optional[jnp.ndarray]
+    actor_rnn: Tuple[jnp.ndarray, ...]   # per-agent (B, L, H)
+    critic_rnn: jnp.ndarray              # (B, L, H)
+    ep_ret: jnp.ndarray        # (B,) running episodic return accumulator
+    ep_len: jnp.ndarray        # (B,) running episode length
+
+
+class TrainState(NamedTuple):
+    actors: Tuple[AgentTrainState, ...]
+    critic: AgentTrainState
+    value_norm: Optional[ValueNormState]
+    carry: RolloutCarry
+    rng: jnp.ndarray
+
+
+class OnPolicyRunner:
+    """Generic runner for HAPPO (and, by factor semantics, HAA2C/MAPPO later).
+
+    ``args``: {"algo", "env", "exp_name"}; ``algo_args``: nested dict with the
+    reference YAML sections (train/model/algo/...); ``env_args``: env kwargs.
+    """
+
+    def __init__(self, args, algo_args, env_args, env=None):
+        self.args = args
+        self.algo_args = algo_args
+        self.env_args = env_args
+
+        tr = algo_args["train"]
+        self.episode_length = tr["episode_length"]
+        self.n_rollout_threads = tr["n_rollout_threads"]
+        self.num_env_steps = tr["num_env_steps"]
+        self.use_valuenorm = tr.get("use_valuenorm", True)
+        self.use_linear_lr_decay = tr.get("use_linear_lr_decay", False)
+        self.use_proper_time_limits = tr.get("use_proper_time_limits", True)
+
+        al = algo_args["algo"]
+        self.use_gae = al.get("use_gae", True)
+        self.gamma = al.get("gamma", 0.99)
+        self.gae_lambda = al.get("gae_lambda", 0.95)
+        self.fixed_order = al.get("fixed_order", False)
+        self.action_aggregation = al.get("action_aggregation", "prod")
+        self.share_param = al.get("share_param", False)
+
+        md = algo_args["model"]
+        self.hidden_sizes = tuple(md["hidden_sizes"])
+        self.recurrent_n = md.get("recurrent_n", 1)
+        self.use_recurrent_policy = md.get("use_recurrent_policy", False)
+
+        # ---- env ----------------------------------------------------------
+        if env is None:
+            from harl_tpu.envs import make_env
+
+            env = make_env(args["env"], env_args)
+        self.env = env
+        self.vec = VecEnv(env, self.n_rollout_threads)
+        self.n_agents = env.n_agents
+        self.obs_spaces = env.observation_space
+        self.share_obs_space = env.share_observation_space[0]
+        self.act_spaces = env.action_space
+        self.obs_dims = [sp.shape[0] for sp in self.obs_spaces]
+        self.discrete = spaces.space_kind(self.act_spaces[0]) != "Box"
+
+        # ---- models / algos ----------------------------------------------
+        episodes = int(self.num_env_steps) // self.episode_length // self.n_rollout_threads
+        self.episodes = max(episodes, 1)
+        actor_updates = al["ppo_epoch"] * al["actor_num_mini_batch"]
+        critic_updates = al["critic_epoch"] * al["critic_num_mini_batch"]
+
+        model_kwargs = dict(
+            hidden_sizes=self.hidden_sizes,
+            activation_func=md.get("activation_func", "relu"),
+            use_feature_normalization=md.get("use_feature_normalization", True),
+            initialization_method=md.get("initialization_method", "orthogonal_"),
+        )
+        algo_cfg = {**al, **md}
+        self.actors = []
+        for i in range(self.n_agents):
+            policy = StochasticPolicy(
+                action_space=self.act_spaces[i],
+                gain=md.get("gain", 0.01),
+                use_recurrent_policy=self.use_recurrent_policy,
+                recurrent_n=self.recurrent_n,
+                std_x_coef=md.get("std_x_coef", 1.0),
+                std_y_coef=md.get("std_y_coef", 0.5),
+                **model_kwargs,
+            )
+            tx = make_optimizer(
+                md["lr"], md.get("opti_eps", 1e-5), md.get("weight_decay", 0.0),
+                al.get("max_grad_norm", 10.0) if al.get("use_max_grad_norm", True) else None,
+                self.use_linear_lr_decay, self.episodes, actor_updates,
+            )
+            self.actors.append(HAPPOActor(policy, self.act_spaces[i], tx, algo_cfg))
+
+        critic_net = VNet(
+            use_recurrent_policy=self.use_recurrent_policy,
+            recurrent_n=self.recurrent_n,
+            **model_kwargs,
+        )
+        critic_tx = make_optimizer(
+            md["critic_lr"], md.get("opti_eps", 1e-5), md.get("weight_decay", 0.0),
+            al.get("max_grad_norm", 10.0) if al.get("use_max_grad_norm", True) else None,
+            self.use_linear_lr_decay, self.episodes, critic_updates,
+        )
+        self.critic = VCritic(critic_net, critic_tx, algo_cfg)
+
+        self._train_iteration = jax.jit(self.train_iteration)
+        self._eval_fn = jax.jit(self.eval_rollout, static_argnums=(1,))
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, seed: int) -> TrainState:
+        rng = jax.random.PRNGKey(seed)
+        rng, k_env, *k_actors = jax.random.split(rng, self.n_agents + 2)
+        rng, k_critic = jax.random.split(rng)
+        env_state, ts = self.vec.reset(k_env)
+        B, N = self.n_rollout_threads, self.n_agents
+        actor_states = []
+        for i, actor in enumerate(self.actors):
+            obs_i = ts.obs[:, i, : self.obs_dims[i]]
+            params = actor.init(k_actors[i], obs_i)
+            actor_states.append(AgentTrainState(params, actor.tx.init(params)))
+        cparams = self.critic.init(k_critic, ts.share_obs)
+        critic_state = AgentTrainState(cparams, self.critic.tx.init(cparams))
+        H = self.hidden_sizes[-1]
+        carry = RolloutCarry(
+            env_state=env_state,
+            obs=ts.obs,
+            share_obs=ts.share_obs,
+            masks=jnp.ones((B, N, 1)),
+            active_masks=jnp.ones((B, N, 1)),
+            avail=ts.available_actions,
+            actor_rnn=tuple(jnp.zeros((B, self.recurrent_n, H)) for _ in range(N)),
+            critic_rnn=jnp.zeros((B, self.recurrent_n, H)),
+            ep_ret=jnp.zeros((B,)),
+            ep_len=jnp.zeros((B,)),
+        )
+        vn = init_value_norm(1) if self.use_valuenorm else None
+        return TrainState(tuple(actor_states), critic_state, vn, carry, rng)
+
+    # --------------------------------------------------------------- rollout
+    def _policy_step(self, actor_states, carry, key):
+        """All agents act once. Returns stacked actions + per-agent outputs."""
+        acts, logps = [], []
+        for i, actor in enumerate(self.actors):
+            obs_i = carry.obs[:, i, : self.obs_dims[i]]
+            avail_i = None
+            if carry.avail is not None:
+                avail_i = carry.avail[:, i, : _space_n(self.act_spaces[i])]
+            head, _ = actor.policy.apply(actor_states[i].params, obs_i)
+            out = act_sample(
+                jax.random.fold_in(key, i), head, self.act_spaces[i], avail_i,
+                std_x_coef=actor.std_x_coef, std_y_coef=actor.std_y_coef,
+            )
+            acts.append(out.actions)
+            logps.append(out.log_probs)
+        max_da = max(a.shape[-1] for a in acts)
+        stacked = jnp.stack(
+            [jnp.pad(a, ((0, 0), (0, max_da - a.shape[-1]))) for a in acts], axis=1
+        )
+        if self.discrete:
+            stacked = stacked.astype(jnp.int32)
+        return stacked, acts, logps
+
+    def rollout_step(self, actor_states, critic_params, carry: RolloutCarry, key):
+        k_act, k_env = jax.random.split(key)
+        actions_stacked, acts, logps = self._policy_step(actor_states, carry, k_act)
+        value = self.critic.get_values(critic_params, carry.share_obs)  # (B,1)
+        tr = self.vec.step(carry.env_state, actions_stacked, k_env)
+        ts = tr.ts
+        B, N = self.n_rollout_threads, self.n_agents
+        done_env = jnp.all(ts.dones, axis=1)                       # (B,)
+        new_masks = jnp.where(done_env[:, None, None], 0.0, jnp.ones((B, N, 1)))
+        new_active = jnp.where(ts.dones[..., None], 0.0, 1.0)
+        new_active = jnp.where(done_env[:, None, None], 1.0, new_active)
+        bad_mask = jnp.where(ts.bad_transition, 0.0, 1.0)[:, None]  # (B,1)
+        # episodic return accounting (team reward of agent 0, logger semantics)
+        rew = ts.rewards[:, 0, 0]
+        ep_ret = carry.ep_ret + rew
+        ep_len = carry.ep_len + 1
+        emitted_ret = jnp.where(done_env, ep_ret, 0.0)
+        emitted_cnt = done_env.astype(jnp.float32)
+        new_carry = RolloutCarry(
+            env_state=tr.state,
+            obs=ts.obs,
+            share_obs=ts.share_obs,
+            masks=new_masks,
+            active_masks=new_active,
+            avail=ts.available_actions,
+            actor_rnn=tuple(
+                jnp.where(done_env[:, None, None], 0.0, h) for h in carry.actor_rnn
+            ),
+            critic_rnn=jnp.where(done_env[:, None, None], 0.0, carry.critic_rnn),
+            ep_ret=jnp.where(done_env, 0.0, ep_ret),
+            ep_len=jnp.where(done_env, 0.0, ep_len),
+        )
+        step_data = dict(
+            obs=carry.obs,
+            share_obs=carry.share_obs,
+            masks=carry.masks,
+            active_masks=carry.active_masks,
+            avail=carry.avail,
+            actions=tuple(acts),
+            logp=tuple(logps),
+            value=value,
+            reward=ts.rewards[:, 0],       # EP: agent-0 (team) reward, (B,1)
+            next_masks=new_masks[:, 0],    # (B,1) env-level
+            next_bad_masks=bad_mask,       # (B,1)
+            next_active=new_active,
+            emitted_ret=emitted_ret,
+            emitted_cnt=emitted_cnt,
+        )
+        return new_carry, step_data
+
+    # ------------------------------------------------------------- iteration
+    def train_iteration(self, ts: TrainState):
+        rng, k_roll, k_order, k_update, k_critic = jax.random.split(ts.rng, 5)
+        actor_states, critic_state, vn = ts.actors, ts.critic, ts.value_norm
+        T, B, N = self.episode_length, self.n_rollout_threads, self.n_agents
+
+        def scan_step(carry, k):
+            return self.rollout_step(actor_states, critic_state.params, carry, k)
+
+        carry, data = jax.lax.scan(
+            scan_step, ts.carry, jax.random.split(k_roll, T)
+        )
+
+        # ---- returns ------------------------------------------------------
+        next_value = self.critic.get_values(critic_state.params, carry.share_obs)
+        values = jnp.concatenate([data["value"], next_value[None]], axis=0)  # (T+1,B,1)
+        if vn is not None:
+            values_den = denormalize(vn, values)
+        else:
+            values_den = values
+        masks_tb = jnp.concatenate([ts.carry.masks[None, :, 0], data["next_masks"]], axis=0)
+        bad_tb = jnp.concatenate([jnp.ones((1, B, 1)), data["next_bad_masks"]], axis=0)
+        if self.use_gae:
+            returns = compute_gae(
+                data["reward"], values_den, masks_tb,
+                bad_tb if self.use_proper_time_limits else None,
+                self.gamma, self.gae_lambda,
+            )
+        else:
+            returns = compute_discounted_returns(
+                data["reward"], values_den, masks_tb,
+                bad_tb if self.use_proper_time_limits else None,
+                values_den[-1], self.gamma,
+            )
+        advantages = returns - values_den[:-1]  # (T,B,1)
+
+        # ---- per-agent batches -------------------------------------------
+        batches = []
+        for i in range(N):
+            avail_i = None
+            if data["avail"] is not None:
+                avail_i = data["avail"][:, :, i, : _space_n(self.act_spaces[i])]
+            batches.append(
+                ActorBatch(
+                    obs=data["obs"][:, :, i, : self.obs_dims[i]],
+                    rnn_states=jnp.zeros((T, B, 1, 1)),  # recurrent path: later round
+                    actions=data["actions"][i],
+                    logp=data["logp"][i],
+                    masks=data["masks"][:, :, i],
+                    active_masks=data["active_masks"][:, :, i],
+                    available_actions=avail_i,
+                )
+            )
+
+        # ---- sequential update (the HARL factor scheme) -------------------
+        factor = jnp.ones((T, B, 1))
+        stats0 = jnp.zeros((N, 4))
+
+        def make_branch(i):
+            def branch(carry):
+                astates, factor, key, stats = carry
+                key, k_up = jax.random.split(key)
+                st = astates[i]
+                old_logp = self.actors[i].evaluate_logp(st.params, batches[i])
+                st, s = self.actors[i].update(
+                    st, batches[i], advantages, factor, k_up, "EP"
+                )
+                new_logp = self.actors[i].evaluate_logp(st.params, batches[i])
+                ratio = aggregate_ratio(
+                    new_logp - old_logp, self.action_aggregation
+                ).reshape(T, B, 1)
+                factor = factor * ratio
+                astates = tuple(
+                    st if j == i else astates[j] for j in range(N)
+                )
+                stats = stats.at[i].set(s)
+                return (astates, factor, key, stats)
+
+            return branch
+
+        branches = [make_branch(i) for i in range(N)]
+        upd_carry = (actor_states, factor, k_update, stats0)
+        if self.fixed_order or N == 1:
+            for i in range(N):
+                upd_carry = branches[i](upd_carry)
+        else:
+            perm = jax.random.permutation(k_order, N)
+
+            def body(j, c):
+                return jax.lax.switch(perm[j], branches, c)
+
+            upd_carry = jax.lax.fori_loop(0, N, body, upd_carry)
+        actor_states, factor, _, actor_stats = upd_carry
+
+        # ---- critic -------------------------------------------------------
+        critic_batch = CriticBatch(
+            share_obs=data["share_obs"],
+            rnn_states=jnp.zeros((T, B, 1, 1)),
+            value_preds=data["value"],
+            returns=returns,
+            masks=data["masks"][:, :, 0],
+        )
+        critic_state, vn, critic_stats = self.critic.update(
+            critic_state, vn, critic_batch, k_critic
+        )
+
+        metrics = dict(
+            actor_stats=actor_stats,          # (N, [policy_loss, entropy, gnorm, ratio])
+            value_loss=critic_stats[0],
+            critic_grad_norm=critic_stats[1],
+            mean_step_reward=jnp.mean(data["reward"]),
+            episode_return_sum=jnp.sum(data["emitted_ret"]),
+            episode_count=jnp.sum(data["emitted_cnt"]),
+        )
+        new_ts = TrainState(actor_states, critic_state, vn, carry, rng)
+        return new_ts, metrics
+
+    # ------------------------------------------------------------------ eval
+    def eval_rollout(self, ts: TrainState, n_eval_envs: int):
+        """Deterministic policy for one episode per eval env; returns mean return."""
+        vec = VecEnv(self.env, n_eval_envs)
+        rng = jax.random.fold_in(ts.rng, 7777)
+        env_state, ets = vec.reset(rng)
+
+        def step(carry, k):
+            env_state, obs, avail, ep_ret, alive = carry
+            acts = []
+            for i, actor in enumerate(self.actors):
+                obs_i = obs[:, i, : self.obs_dims[i]]
+                avail_i = None
+                if avail is not None:
+                    avail_i = avail[:, i, : _space_n(self.act_spaces[i])]
+                head, _ = actor.policy.apply(ts.actors[i].params, obs_i)
+                out = act_sample(k, head, self.act_spaces[i], avail_i, deterministic=True,
+                                 std_x_coef=actor.std_x_coef, std_y_coef=actor.std_y_coef)
+                acts.append(out.actions)
+            max_da = max(a.shape[-1] for a in acts)
+            stacked = jnp.stack(
+                [jnp.pad(a, ((0, 0), (0, max_da - a.shape[-1]))) for a in acts], axis=1
+            )
+            if self.discrete:
+                stacked = stacked.astype(jnp.int32)
+            tr = vec.step(env_state, stacked, k)
+            done_env = jnp.all(tr.ts.dones, axis=1)
+            ep_ret = ep_ret + tr.ts.rewards[:, 0, 0] * alive
+            alive = alive * (1.0 - done_env.astype(jnp.float32))
+            return (tr.state, tr.ts.obs, tr.ts.available_actions, ep_ret, alive), None
+
+        init = (
+            env_state, ets.obs, ets.available_actions,
+            jnp.zeros((n_eval_envs,)), jnp.ones((n_eval_envs,)),
+        )
+        final_carry, _ = jax.lax.scan(
+            step, init, jax.random.split(rng, self._eval_len())
+        )
+        ep_ret = final_carry[3]
+        return jnp.mean(ep_ret)
+
+    def _eval_len(self):
+        return getattr(self.env, "max_cycles", self.episode_length)
+
+    # ------------------------------------------------------------------- run
+    def run(self, seed: int = 1, log_fn=None, eval_interval: int = 25):
+        state = self.init_state(seed)
+        steps_per_iter = self.episode_length * self.n_rollout_threads
+        history = []
+        t_start = time.time()
+        for episode in range(1, self.episodes + 1):
+            state, metrics = self._train_iteration(state)
+            if episode % self.algo_args["train"].get("log_interval", 5) == 0 or episode == self.episodes:
+                m = jax.device_get(metrics)
+                cnt = max(m["episode_count"], 1.0)
+                fps = episode * steps_per_iter / (time.time() - t_start)
+                rec = dict(
+                    episode=episode,
+                    steps=episode * steps_per_iter,
+                    mean_episode_return=float(m["episode_return_sum"] / cnt),
+                    value_loss=float(m["value_loss"]),
+                    fps=fps,
+                )
+                history.append(rec)
+                if log_fn:
+                    log_fn(rec)
+        return state, history
+
+
+def _space_n(space) -> int:
+    kind = spaces.space_kind(space)
+    if kind == "Discrete":
+        return space.n
+    if kind == "Box":
+        return space.shape[0]
+    return int(sum(space.nvec))

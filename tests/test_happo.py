@@ -1,0 +1,128 @@
+"""Integration tests: HAPPO end-to-end on pure-JAX MPE (CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from harl_tpu.runners.on_policy import OnPolicyRunner
+
+
+def _cfg(**over):
+    algo_args = {
+        "train": {
+            "n_rollout_threads": 4,
+            "num_env_steps": 4 * 10 * 3,
+            "episode_length": 10,
+            "log_interval": 1,
+            "use_valuenorm": True,
+            "use_linear_lr_decay": False,
+            "use_proper_time_limits": True,
+        },
+        "model": {
+            "hidden_sizes": [32, 32],
+            "activation_func": "relu",
+            "use_feature_normalization": True,
+            "initialization_method": "orthogonal_",
+            "gain": 0.01,
+            "use_recurrent_policy": False,
+            "recurrent_n": 1,
+            "lr": 5e-4,
+            "critic_lr": 5e-4,
+            "opti_eps": 1e-5,
+            "weight_decay": 0.0,
+            "std_x_coef": 1.0,
+            "std_y_coef": 0.5,
+        },
+        "algo": {
+            "ppo_epoch": 2,
+            "critic_epoch": 2,
+            "use_clipped_value_loss": True,
+            "clip_param": 0.2,
+            "actor_num_mini_batch": 1,
+            "critic_num_mini_batch": 1,
+            "entropy_coef": 0.01,
+            "value_loss_coef": 1.0,
+            "use_max_grad_norm": True,
+            "max_grad_norm": 10.0,
+            "use_gae": True,
+            "gamma": 0.99,
+            "gae_lambda": 0.95,
+            "use_huber_loss": True,
+            "use_policy_active_masks": True,
+            "huber_delta": 10.0,
+            "action_aggregation": "prod",
+            "share_param": False,
+            "fixed_order": False,
+        },
+    }
+    for k, v in over.items():
+        sec, key = k.split(".")
+        algo_args[sec][key] = v
+    return algo_args
+
+
+@pytest.mark.parametrize("continuous", [True, False])
+def test_happo_smoke(continuous):
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "pettingzoo_mpe", "exp_name": "test"},
+        _cfg(),
+        {"scenario": "simple_spread_v2", "continuous_actions": continuous, "max_cycles": 10},
+    )
+    state, history = runner.run(seed=1)
+    assert len(history) == runner.episodes
+    for rec in history:
+        assert np.isfinite(rec["mean_episode_return"])
+        assert np.isfinite(rec["value_loss"])
+
+
+def test_happo_fixed_order_smoke():
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "pettingzoo_mpe", "exp_name": "test"},
+        _cfg(**{"algo.fixed_order": True}),
+        {"scenario": "simple_spread_v2", "continuous_actions": True, "max_cycles": 10},
+    )
+    state, history = runner.run(seed=3)
+    assert np.isfinite(history[-1]["mean_episode_return"])
+
+
+def test_happo_heterogeneous_speaker_listener():
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "pettingzoo_mpe", "exp_name": "test"},
+        _cfg(),
+        {"scenario": "simple_speaker_listener_v3", "continuous_actions": False, "max_cycles": 10},
+    )
+    state, history = runner.run(seed=1)
+    assert np.isfinite(history[-1]["mean_episode_return"])
+
+
+def test_happo_factor_changes_with_update():
+    """The sequential-update factor must deviate from 1 after the first agent
+    trains (on_policy_ha_runner.py:115-124)."""
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "pettingzoo_mpe", "exp_name": "test"},
+        _cfg(),
+        {"scenario": "simple_spread_v2", "continuous_actions": True, "max_cycles": 10},
+    )
+    state = runner.init_state(0)
+    new_state, metrics = runner._train_iteration(state)
+    # params actually changed
+    p0 = jax.tree_util.tree_leaves(state.actors[0].params)[0]
+    p1 = jax.tree_util.tree_leaves(new_state.actors[0].params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    # critic changed too
+    c0 = jax.tree_util.tree_leaves(state.critic.params)[0]
+    c1 = jax.tree_util.tree_leaves(new_state.critic.params)[0]
+    assert not np.allclose(np.asarray(c0), np.asarray(c1))
+    # value norm updated
+    assert float(new_state.value_norm.debiasing_term) > 0
+
+
+def test_eval_rollout_runs():
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "pettingzoo_mpe", "exp_name": "test"},
+        _cfg(),
+        {"scenario": "simple_spread_v2", "continuous_actions": True, "max_cycles": 10},
+    )
+    state = runner.init_state(0)
+    ret = runner._eval_fn(state, 4)
+    assert np.isfinite(float(ret))

@@ -1,0 +1,224 @@
+"""Unit tests for harl_tpu.ops: distributions, returns, value norm.
+
+Golden values come from hand-derived math and NumPy reimplementations of the
+reference recursions (on_policy_critic_buffer_ep.py:97-200, valuenorm.py).
+"""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from harl_tpu.ops import distributions as D
+from harl_tpu.ops.returns import (
+    compute_discounted_returns,
+    compute_gae,
+    masked_mean_std,
+    normalize_advantages_masked,
+)
+from harl_tpu.ops.value_norm import (
+    denormalize,
+    init_value_norm,
+    normalize,
+    update_value_norm,
+)
+
+
+class TestCategorical:
+    def test_masked_sampling_never_picks_unavailable(self):
+        logits = jnp.zeros((64, 5))
+        avail = jnp.tile(jnp.array([[1, 0, 1, 0, 1]], jnp.float32), (64, 1))
+        dist = D.categorical(logits, avail)
+        a = dist.sample(jax.random.PRNGKey(0))
+        assert a.shape == (64, 1)
+        assert set(np.unique(np.asarray(a))) <= {0, 2, 4}
+
+    def test_log_prob_and_entropy_uniform(self):
+        logits = jnp.zeros((4, 8))
+        dist = D.categorical(logits, None)
+        lp = dist.log_prob(jnp.array([[0], [3], [5], [7]]))
+        np.testing.assert_allclose(np.asarray(lp), math.log(1 / 8), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dist.entropy()), math.log(8), rtol=1e-6)
+
+    def test_masked_entropy_counts_only_available(self):
+        logits = jnp.zeros((1, 4))
+        avail = jnp.array([[1, 1, 0, 0]], jnp.float32)
+        dist = D.categorical(logits, avail)
+        np.testing.assert_allclose(np.asarray(dist.entropy()), math.log(2), rtol=1e-5)
+
+    def test_mode(self):
+        logits = jnp.array([[0.1, 3.0, -1.0]])
+        assert int(D.categorical(logits).mode()[0, 0]) == 1
+
+
+class TestDiagGaussian:
+    def test_log_prob_per_dim(self):
+        mean = jnp.array([[0.0, 1.0]])
+        std = jnp.array([0.5, 2.0])
+        dist = D.DiagGaussian(mean, std)
+        lp = dist.log_prob(jnp.array([[0.0, 1.0]]))
+        # per-dim logpdf at mean: -log(std) - 0.5*log(2pi)
+        expected = -np.log([0.5, 2.0]) - 0.5 * math.log(2 * math.pi)
+        np.testing.assert_allclose(np.asarray(lp)[0], expected, rtol=1e-6)
+        assert lp.shape == (1, 2)  # NOT summed (FixedNormal.log_probs)
+
+    def test_entropy_summed(self):
+        std = jnp.array([1.0, 1.0])
+        dist = D.DiagGaussian(jnp.zeros((3, 2)), std)
+        expected = 2 * (0.5 + 0.5 * math.log(2 * math.pi))
+        np.testing.assert_allclose(np.asarray(dist.entropy()), expected, rtol=1e-6)
+
+    def test_sigmoid_std_param(self):
+        std = D.diag_gaussian_std(jnp.array([1.0]), 1.0, 0.5)
+        np.testing.assert_allclose(float(std[0]), 0.5 / (1 + math.exp(-1)), rtol=1e-6)
+
+
+class TestSquashedGaussian:
+    def test_action_bounds_and_logprob_shape(self):
+        key = jax.random.PRNGKey(1)
+        mu = jnp.zeros((32, 4))
+        log_std = jnp.zeros((32, 4))
+        s = D.squashed_gaussian_sample(key, mu, log_std, act_limit=2.0)
+        assert s.action.shape == (32, 4)
+        assert s.log_prob.shape == (32, 1)
+        assert np.all(np.abs(np.asarray(s.action)) <= 2.0)
+
+    def test_deterministic_is_tanh_mu(self):
+        mu = jnp.array([[0.5, -0.3]])
+        s = D.squashed_gaussian_sample(
+            jax.random.PRNGKey(0), mu, jnp.zeros_like(mu), 1.0, deterministic=True
+        )
+        np.testing.assert_allclose(np.asarray(s.action), np.tanh([[0.5, -0.3]]), rtol=1e-4)
+
+    def test_tanh_correction_matches_naive(self):
+        # logp(a) = logp_gauss(pre) - sum log(1 - tanh(pre)^2)
+        key = jax.random.PRNGKey(2)
+        mu = jnp.array([[0.1, -0.2, 0.3]])
+        log_std = jnp.array([[-0.5, 0.0, 0.5]])
+        s = D.squashed_gaussian_sample(key, mu, log_std, 1.0)
+        pre = np.arctanh(np.clip(np.asarray(s.action), -1 + 1e-7, 1 - 1e-7))
+        std = np.exp(np.asarray(log_std))
+        lp_gauss = -((pre - np.asarray(mu)) ** 2) / (2 * std**2) - np.log(std) - 0.5 * math.log(2 * math.pi)
+        naive = lp_gauss.sum(-1) - np.log(1 - np.tanh(pre) ** 2 + 1e-12).sum(-1)
+        np.testing.assert_allclose(np.asarray(s.log_prob)[:, 0], naive, rtol=1e-3)
+
+
+class TestGumbel:
+    def test_onehot_straight_through(self):
+        logits = jnp.array([[10.0, 0.0, -10.0]] * 16)
+        y = D.gumbel_softmax(jax.random.PRNGKey(0), logits, hard=True)
+        np.testing.assert_allclose(np.asarray(y).sum(-1), 1.0, rtol=1e-6)
+        assert np.all(np.isin(np.asarray(y).round(6), np.asarray(y)))  # one-hot rows
+
+    def test_gradients_flow(self):
+        logits = jnp.ones((4, 3))
+
+        def f(lg):
+            return jnp.sum(D.gumbel_softmax(jax.random.PRNGKey(0), lg, hard=True) * jnp.arange(3.0))
+
+        g = jax.grad(f)(logits)
+        assert np.any(np.asarray(g) != 0)
+
+
+def _ref_gae(rewards, values, masks, bad_masks, gamma, lam, proper):
+    """NumPy port of the reference recursion (on_policy_critic_buffer_ep.py:107-139)."""
+    T = rewards.shape[0]
+    returns = np.zeros_like(rewards)
+    gae = np.zeros_like(rewards[0])
+    for t in reversed(range(T)):
+        delta = rewards[t] + gamma * values[t + 1] * masks[t + 1] - values[t]
+        gae = delta + gamma * lam * masks[t + 1] * gae
+        if proper:
+            gae = bad_masks[t + 1] * gae
+        returns[t] = gae + values[t]
+    return returns
+
+
+class TestReturns:
+    @pytest.mark.parametrize("proper", [True, False])
+    def test_gae_matches_reference_recursion(self, proper):
+        rng = np.random.RandomState(0)
+        T, B = 16, 5
+        rewards = rng.randn(T, B, 1).astype(np.float32)
+        values = rng.randn(T + 1, B, 1).astype(np.float32)
+        masks = (rng.rand(T + 1, B, 1) > 0.2).astype(np.float32)
+        bad_masks = (rng.rand(T + 1, B, 1) > 0.3).astype(np.float32)
+        expected = _ref_gae(rewards, values, masks, bad_masks, 0.99, 0.95, proper)
+        got = compute_gae(
+            jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(masks),
+            jnp.asarray(bad_masks) if proper else None, 0.99, 0.95,
+        )
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-5)
+
+    def test_discounted_returns_matches_reference(self):
+        rng = np.random.RandomState(1)
+        T, B = 12, 4
+        rewards = rng.randn(T, B, 1).astype(np.float32)
+        values = rng.randn(T + 1, B, 1).astype(np.float32)
+        masks = (rng.rand(T + 1, B, 1) > 0.2).astype(np.float32)
+        bad_masks = (rng.rand(T + 1, B, 1) > 0.3).astype(np.float32)
+        next_value = values[-1]
+        # reference recursion (on_policy_critic_buffer_ep.py:140-166)
+        returns = np.zeros((T + 1, B, 1), np.float32)
+        returns[-1] = next_value
+        for t in reversed(range(T)):
+            returns[t] = (returns[t + 1] * 0.99 * masks[t + 1] + rewards[t]) * bad_masks[
+                t + 1
+            ] + (1 - bad_masks[t + 1]) * values[t]
+        got = compute_discounted_returns(
+            jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(masks),
+            jnp.asarray(bad_masks), jnp.asarray(next_value), 0.99,
+        )
+        np.testing.assert_allclose(np.asarray(got), returns[:-1], rtol=1e-4, atol=1e-5)
+
+    def test_masked_mean_std_matches_nanstats(self):
+        rng = np.random.RandomState(2)
+        x = rng.randn(10, 3, 1).astype(np.float32)
+        m = (rng.rand(10, 3, 1) > 0.4).astype(np.float32)
+        x_nan = x.copy()
+        x_nan[m == 0] = np.nan
+        mean, std = masked_mean_std(jnp.asarray(x), jnp.asarray(m) != 0)
+        np.testing.assert_allclose(float(mean), np.nanmean(x_nan), rtol=1e-5)
+        np.testing.assert_allclose(float(std), np.nanstd(x_nan), rtol=1e-4)
+
+    def test_normalize_advantages_masked(self):
+        rng = np.random.RandomState(3)
+        adv = rng.randn(8, 2, 1).astype(np.float32)
+        am = (rng.rand(8, 2, 1) > 0.3).astype(np.float32)
+        adv_nan = adv.copy()
+        adv_nan[am == 0] = np.nan
+        expected = (adv - np.nanmean(adv_nan)) / (np.nanstd(adv_nan) + 1e-5)
+        got = normalize_advantages_masked(jnp.asarray(adv), jnp.asarray(am))
+        np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-5)
+
+
+class TestValueNorm:
+    def test_update_and_denormalize_roundtrip(self):
+        state = init_value_norm(1)
+        rng = np.random.RandomState(0)
+        x = rng.randn(100, 7, 1).astype(np.float32) * 3 + 5
+        for i in range(10):
+            state = update_value_norm(state, jnp.asarray(x[i * 10 : (i + 1) * 10]), norm_axes=2)
+        y = normalize(state, jnp.asarray(x))
+        z = denormalize(state, y)
+        np.testing.assert_allclose(np.asarray(z), x, rtol=1e-4, atol=1e-4)
+
+    def test_matches_reference_ema_math(self):
+        beta = 0.99999
+        state = init_value_norm(1)
+        x1 = jnp.ones((4, 2, 1)) * 2.0
+        state = update_value_norm(state, x1, beta=beta, norm_axes=2)
+        # one EMA step: rm = 0*beta + 2*(1-beta); debias = (1-beta)
+        np.testing.assert_allclose(float(state.running_mean[0]), 2.0 * (1 - beta), rtol=1e-6)
+        np.testing.assert_allclose(float(state.debiasing_term), (1 - beta), rtol=1e-6)
+        # debiased mean == 2, var clamps to 1e-2
+        y = normalize(state, x1)
+        np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-4)
+
+    def test_variance_clamp(self):
+        state = init_value_norm(1)
+        state = update_value_norm(state, jnp.full((10, 1), 3.0))
+        y = normalize(state, jnp.asarray([[3.1]]))
+        # var clamped at 1e-2 → std 0.1 → (3.1-3)/0.1 = 1
+        np.testing.assert_allclose(float(y[0, 0]), 1.0, rtol=1e-3)
