@@ -1,0 +1,9 @@
+"""Algorithm registry (reference: harl/algorithms/actors/__init__.py)."""
+from harl_tpu.algos.happo import HAA2CActor, HAPPOActor, MAPPOActor
+
+# actor class + whether the runner chains the sequential-update factor
+ON_POLICY_REGISTRY = {
+    "happo": (HAPPOActor, True),
+    "haa2c": (HAA2CActor, True),
+    "mappo": (MAPPOActor, False),
+}

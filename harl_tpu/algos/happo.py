@@ -47,12 +47,15 @@ class HAPPOActor:
     """Factory binding the policy module, action space and config into jittable
     update functions. Stateless; all state lives in AgentTrainState."""
 
+    use_clip = True          # HAA2C overrides (unclipped surrogate, haa2c.py:64-82)
+    epoch_key = "ppo_epoch"  # HAA2C uses "a2c_epoch"
+
     def __init__(self, policy, action_space, tx: optax.GradientTransformation, cfg: dict):
         self.policy = policy
         self.action_space = action_space
         self.tx = tx
-        self.clip_param = cfg["clip_param"]
-        self.ppo_epoch = cfg["ppo_epoch"]
+        self.clip_param = cfg.get("clip_param", 0.2)
+        self.ppo_epoch = cfg[self.epoch_key]
         self.num_mini_batch = cfg["actor_num_mini_batch"]
         self.entropy_coef = cfg["entropy_coef"]
         self.use_policy_active_masks = cfg.get("use_policy_active_masks", True)
@@ -124,8 +127,12 @@ class HAPPOActor:
                               self.std_x_coef, self.std_y_coef)
             ratio = aggregate_ratio(ev.log_probs - olp, self.action_aggregation)
             surr1 = ratio * ad
-            surr2 = jnp.clip(ratio, 1.0 - self.clip_param, 1.0 + self.clip_param) * ad
-            obj = jnp.sum(fc * jnp.minimum(surr1, surr2), axis=-1, keepdims=True)
+            if self.use_clip:
+                surr2 = jnp.clip(ratio, 1.0 - self.clip_param, 1.0 + self.clip_param) * ad
+                surr = jnp.minimum(surr1, surr2)
+            else:
+                surr = surr1
+            obj = jnp.sum(fc * surr, axis=-1, keepdims=True)
             if self.use_policy_active_masks:
                 policy_loss = -jnp.sum(obj * am) / jnp.maximum(jnp.sum(am), 1e-9)
             else:
@@ -148,3 +155,17 @@ class HAPPOActor:
         state, stats = jax.lax.scan(minibatch_step, state, idx)
         stats = jnp.mean(stats, axis=0)  # [policy_loss, dist_entropy, grad_norm, ratio]
         return state, stats
+
+
+class HAA2CActor(HAPPOActor):
+    """HAA2C: unclipped factor-weighted surrogate (haa2c.py:64-82); epochs from
+    ``a2c_epoch``."""
+
+    use_clip = False
+    epoch_key = "a2c_epoch"
+
+
+class MAPPOActor(HAPPOActor):
+    """MAPPO: identical PPO-clip loss but no factor semantics — the runner
+    passes an all-ones factor and skips the factor chain (mappo.py:64-80,
+    on_policy_ma_runner.py)."""

@@ -56,7 +56,9 @@ class ACTLayer(nn.Module):
         mean = nn.Dense(d, kernel_init=kernel_init,
                         bias_init=nn.initializers.zeros, name="head")(x)
         log_std = self.param(
-            "log_std", lambda key, shape: jnp.full(shape, self.std_x_coef), (d,)
+            "log_std",
+            lambda key, shape: jnp.full(shape, float(self.std_x_coef), jnp.float32),
+            (d,),
         )
         return (mean, jnp.broadcast_to(log_std, mean.shape))
 

@@ -32,7 +32,7 @@ import optax
 
 from harl_tpu.algos.common import AgentTrainState, aggregate_ratio, make_optimizer
 from harl_tpu.algos.critics import CriticBatch, VCritic
-from harl_tpu.algos.happo import ActorBatch, HAPPOActor
+from harl_tpu.algos.happo import ActorBatch
 from harl_tpu.envs.core import VecEnv, auto_reset_step
 from harl_tpu.models.act import act_sample
 from harl_tpu.models.policies import StochasticPolicy
@@ -115,9 +115,12 @@ class OnPolicyRunner:
         self.discrete = spaces.space_kind(self.act_spaces[0]) != "Box"
 
         # ---- models / algos ----------------------------------------------
+        from harl_tpu.algos import ON_POLICY_REGISTRY
+
+        actor_cls, self.factor_chain = ON_POLICY_REGISTRY[args.get("algo", "happo")]
         episodes = int(self.num_env_steps) // self.episode_length // self.n_rollout_threads
         self.episodes = max(episodes, 1)
-        actor_updates = al["ppo_epoch"] * al["actor_num_mini_batch"]
+        actor_updates = al[actor_cls.epoch_key] * al["actor_num_mini_batch"]
         critic_updates = al["critic_epoch"] * al["critic_num_mini_batch"]
 
         model_kwargs = dict(
@@ -143,7 +146,7 @@ class OnPolicyRunner:
                 al.get("max_grad_norm", 10.0) if al.get("use_max_grad_norm", True) else None,
                 self.use_linear_lr_decay, self.episodes, actor_updates,
             )
-            self.actors.append(HAPPOActor(policy, self.act_spaces[i], tx, algo_cfg))
+            self.actors.append(actor_cls(policy, self.act_spaces[i], tx, algo_cfg))
 
         critic_net = VNet(
             use_recurrent_policy=self.use_recurrent_policy,
@@ -327,15 +330,17 @@ class OnPolicyRunner:
                 astates, factor, key, stats = carry
                 key, k_up = jax.random.split(key)
                 st = astates[i]
-                old_logp = self.actors[i].evaluate_logp(st.params, batches[i])
+                if self.factor_chain:
+                    old_logp = self.actors[i].evaluate_logp(st.params, batches[i])
                 st, s = self.actors[i].update(
                     st, batches[i], advantages, factor, k_up, "EP"
                 )
-                new_logp = self.actors[i].evaluate_logp(st.params, batches[i])
-                ratio = aggregate_ratio(
-                    new_logp - old_logp, self.action_aggregation
-                ).reshape(T, B, 1)
-                factor = factor * ratio
+                if self.factor_chain:
+                    new_logp = self.actors[i].evaluate_logp(st.params, batches[i])
+                    ratio = aggregate_ratio(
+                        new_logp - old_logp, self.action_aggregation
+                    ).reshape(T, B, 1)
+                    factor = factor * ratio
                 astates = tuple(
                     st if j == i else astates[j] for j in range(N)
                 )
@@ -426,27 +431,63 @@ class OnPolicyRunner:
         return getattr(self.env, "max_cycles", self.episode_length)
 
     # ------------------------------------------------------------------- run
-    def run(self, seed: int = 1, log_fn=None, eval_interval: int = 25):
+    def run(self, seed: int = 1, log_fn=None, logger=None, save_dir=None):
+        """Host training loop: jitted iterations + logging/eval/checkpointing.
+
+        Mirrors OnPolicyBaseRunner.run (on_policy_base_runner.py:171-267) with
+        the entire per-episode body compiled into one device call.
+        """
         state = self.init_state(seed)
         steps_per_iter = self.episode_length * self.n_rollout_threads
+        tr = self.algo_args["train"]
+        ev = self.algo_args.get("eval", {})
+        log_interval = tr.get("log_interval", 5)
+        eval_interval = tr.get("eval_interval", 25)
+        use_eval = ev.get("use_eval", False)
+        n_eval = ev.get("n_eval_rollout_threads", 10)
         history = []
         t_start = time.time()
+        last_return = float("nan")
         for episode in range(1, self.episodes + 1):
             state, metrics = self._train_iteration(state)
-            if episode % self.algo_args["train"].get("log_interval", 5) == 0 or episode == self.episodes:
+            if episode % log_interval == 0 or episode == self.episodes:
                 m = jax.device_get(metrics)
-                cnt = max(m["episode_count"], 1.0)
+                if m["episode_count"] > 0:  # keep last value when no episode ended
+                    last_return = float(m["episode_return_sum"] / m["episode_count"])
                 fps = episode * steps_per_iter / (time.time() - t_start)
+                astats = np.asarray(m["actor_stats"])
                 rec = dict(
                     episode=episode,
                     steps=episode * steps_per_iter,
-                    mean_episode_return=float(m["episode_return_sum"] / cnt),
+                    mean_episode_return=last_return,
                     value_loss=float(m["value_loss"]),
+                    critic_grad_norm=float(m["critic_grad_norm"]),
                     fps=fps,
+                    agent_stats=[
+                        dict(
+                            policy_loss=float(astats[i, 0]),
+                            dist_entropy=float(astats[i, 1]),
+                            actor_grad_norm=float(astats[i, 2]),
+                            ratio=float(astats[i, 3]),
+                        )
+                        for i in range(self.n_agents)
+                    ],
                 )
                 history.append(rec)
+                if logger is not None:
+                    logger.log_episode(rec)
                 if log_fn:
                     log_fn(rec)
+            if (episode % eval_interval == 0 or episode == self.episodes) and use_eval:
+                eval_ret = float(self._eval_fn(state, n_eval))
+                if logger is not None:
+                    logger.log_eval(episode * steps_per_iter, eval_ret)
+                if history:
+                    history[-1]["eval_return"] = eval_ret
+                if save_dir is not None:
+                    from harl_tpu.utils.checkpoint import save_state
+
+                    save_state(save_dir, state, episode * steps_per_iter)
         return state, history
 
 

