@@ -120,7 +120,7 @@ class OnPolicyRunner:
         actor_cls, self.factor_chain = ON_POLICY_REGISTRY[args.get("algo", "happo")]
         episodes = int(self.num_env_steps) // self.episode_length // self.n_rollout_threads
         self.episodes = max(episodes, 1)
-        actor_updates = al[actor_cls.epoch_key] * al["actor_num_mini_batch"]
+        actor_updates = al.get(actor_cls.epoch_key, 1) * al.get("actor_num_mini_batch", 1)
         critic_updates = al["critic_epoch"] * al["critic_num_mini_batch"]
 
         model_kwargs = dict(
