@@ -41,7 +41,7 @@ class TrainLogger:
             f"[{self.args.get('algo', '?')} | {self.args.get('env', '?')}] "
             f"steps {steps}/{total} "
             f"return {record.get('mean_episode_return', float('nan')):.2f} "
-            f"value_loss {record.get('value_loss', float('nan')):.4f} "
+            f"value_loss {record.get('value_loss', record.get('critic_loss', float('nan'))):.4f} "
             f"FPS {record.get('fps', 0):.0f}",
             flush=True,
         )

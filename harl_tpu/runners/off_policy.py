@@ -1,0 +1,694 @@
+"""Off-policy HARL runner: jitted collect + replay-train program.
+
+Parity targets: ``harl/runners/off_policy_base_runner.py`` (warmup, stepping,
+insert bookkeeping) and ``off_policy_ha_runner.py`` / ``off_policy_ma_runner.py``
+(per-algorithm training). TPU-native structure:
+
+  * one jitted ``collect_block`` runs ``train_interval`` vectorized env steps
+    (exploration policies + auto-reset + replay insert) — replacing the
+    per-step Pipe round trips (off_policy_base_runner.py:231-305);
+  * one jitted ``train_block`` runs ``update_per_train × train_interval``
+    gradient steps off the HBM replay buffer: critic n-step TD update, then —
+    every ``policy_freq`` iterations — sequential (HA) or simultaneous (MA)
+    actor updates and polyak target updates;
+  * warmup is a jitted scan of uniform-random actions
+    (off_policy_base_runner.py:307-351).
+
+Insert bookkeeping (off_policy_base_runner.py:353-442):
+  valid_transitions = 1 − agent_deaths (pre-step);  terms = done ∧ ¬truncation;
+  next_obs at episode ends is the PRE-reset terminal obs (``original_obs``).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from harl_tpu.algos.off_policy_actors import (
+    HAD3QNActor,
+    HADDPGActor,
+    HASACActor,
+    HATD3Actor,
+)
+from harl_tpu.algos.q_critics import (
+    ContinuousQCritic,
+    DiscreteQCritic,
+    QCriticState,
+    SoftTwinContinuousQCritic,
+    TwinContinuousQCritic,
+    encode_joint_actions,
+)
+from harl_tpu.algos.common import soft_update
+from harl_tpu.buffers.off_policy import ReplayBuffer, Sample, init_buffer, insert, sample
+from harl_tpu.envs.core import VecEnv
+from harl_tpu.utils import spaces
+
+ACTOR_REGISTRY = {
+    "haddpg": HADDPGActor,
+    "hatd3": HATD3Actor,
+    "hasac": HASACActor,
+    "had3qn": HAD3QNActor,
+    "maddpg": HADDPGActor,
+    "matd3": HATD3Actor,
+}
+CRITIC_REGISTRY = {
+    "haddpg": ContinuousQCritic,
+    "maddpg": ContinuousQCritic,
+    "hatd3": TwinContinuousQCritic,
+    "matd3": TwinContinuousQCritic,
+    "hasac": SoftTwinContinuousQCritic,
+    "had3qn": DiscreteQCritic,
+}
+MA_ALGOS = ("maddpg", "matd3")  # simultaneous updates with buffer actions
+
+
+class OffRolloutCarry(NamedTuple):
+    env_state: Any
+    obs: jnp.ndarray            # (B, N, max_obs)
+    share_obs: jnp.ndarray      # (B, ds)
+    avail: Optional[jnp.ndarray]
+    agent_deaths: jnp.ndarray   # (B, N, 1)
+    ep_ret: jnp.ndarray         # (B,)
+
+
+class OffPolicyState(NamedTuple):
+    actors: Tuple
+    critic: QCriticState
+    buffer: ReplayBuffer
+    carry: OffRolloutCarry
+    total_it: jnp.ndarray       # () int32
+    rng: jnp.ndarray
+
+
+class OffPolicyRunner:
+    def __init__(self, args, algo_args, env_args, env=None):
+        self.args = args
+        self.algo_args = algo_args
+        self.env_args = env_args
+        self.algo = args["algo"]
+        tr = algo_args["train"]
+        al = algo_args["algo"]
+        md = algo_args["model"]
+
+        self.n_rollout_threads = tr["n_rollout_threads"]
+        self.num_env_steps = tr["num_env_steps"]
+        self.warmup_steps = tr.get("warmup_steps", 10000)
+        self.train_interval = tr.get("train_interval", 50)
+        self.update_per_train = tr.get("update_per_train", 1)
+        self.use_proper_time_limits = tr.get("use_proper_time_limits", True)
+        self.batch_size = al["batch_size"]
+        self.buffer_size = al["buffer_size"]
+        self.n_step = al.get("n_step", 1)
+        self.gamma = al.get("gamma", 0.99)
+        self.policy_freq = al.get("policy_freq", 1)
+        self.fixed_order = al.get("fixed_order", False)
+        self.use_policy_active_masks = al.get("use_policy_active_masks", True)
+        self.auto_alpha = al.get("auto_alpha", False)
+
+        if env is None:
+            from harl_tpu.envs import make_env
+
+            env = make_env(args["env"], env_args)
+        self.env = env
+        self.vec = VecEnv(env, self.n_rollout_threads)
+        self.n_agents = env.n_agents
+        self.obs_spaces = env.observation_space
+        self.act_spaces = env.action_space
+        self.obs_dims = [sp.shape[0] for sp in self.obs_spaces]
+        self.share_obs_dim = env.share_observation_space[0].shape[0]
+        self.discrete = spaces.space_kind(self.act_spaces[0]) != "Box"
+
+        cfg = {**al, **md, "use_proper_time_limits": self.use_proper_time_limits,
+               "use_valuenorm": tr.get("use_valuenorm", False)}
+        actor_cls = ACTOR_REGISTRY[self.algo]
+        self.actors = [
+            actor_cls(self.obs_dims[i], self.act_spaces[i], cfg)
+            for i in range(self.n_agents)
+        ]
+        critic_cls = CRITIC_REGISTRY[self.algo]
+        self.critic = critic_cls(self.share_obs_dim, self.act_spaces, cfg)
+
+        # HASAC temperature (off_policy_base_runner.py:177-207)
+        self.alpha_fixed = al.get("alpha", 0.2)
+        self.alpha_lr = al.get("alpha_lr", 3e-4)
+        self.alpha_tx = optax.adam(self.alpha_lr)
+        self.target_entropy = []
+        for sp in self.act_spaces:
+            kind = spaces.space_kind(sp)
+            if kind == "Box":
+                self.target_entropy.append(-float(np.prod(sp.shape)))
+            elif kind == "Discrete":
+                self.target_entropy.append(-0.98 * float(np.log(1.0 / sp.n)))
+            else:
+                self.target_entropy.append(
+                    sum(-0.98 * float(np.log(1.0 / int(n))) for n in sp.nvec)
+                )
+
+        self._collect = jax.jit(self.collect_block)
+        self._train = jax.jit(self.train_block)
+        self._warmup = jax.jit(self.warmup_block)
+        self._eval_fn = jax.jit(self.eval_rollout, static_argnums=(1,))
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, seed: int) -> OffPolicyState:
+        rng = jax.random.PRNGKey(seed)
+        rng, k_env, k_critic, *k_actors = jax.random.split(rng, self.n_agents + 3)
+        env_state, ts = self.vec.reset(k_env)
+        B, N = self.n_rollout_threads, self.n_agents
+        actor_states = []
+        for actor, k in zip(self.actors, k_actors):
+            st = actor.init(k)
+            if self.algo == "hasac" and self.auto_alpha:
+                la = jnp.zeros(())
+                st = st._replace(log_alpha=la, alpha_opt_state=self.alpha_tx.init(la))
+            actor_states.append(st)
+        critic_state = self.critic.init(k_critic)
+        avail_dims = [sp.n for sp in self.act_spaces] if self.discrete else None
+        buf = init_buffer(
+            self.buffer_size,
+            self.share_obs_dim,
+            self.obs_dims,
+            [spaces.get_dim_from_space(sp) for sp in self.act_spaces],
+            avail_dims,
+        )
+        carry = OffRolloutCarry(
+            env_state=env_state,
+            obs=ts.obs,
+            share_obs=ts.share_obs,
+            avail=ts.available_actions,
+            agent_deaths=jnp.zeros((B, N, 1)),
+            ep_ret=jnp.zeros((B,)),
+        )
+        return OffPolicyState(
+            tuple(actor_states), critic_state, buf, carry,
+            jnp.zeros((), jnp.int32), rng,
+        )
+
+    # --------------------------------------------------------------- helpers
+    def _alpha(self, actor_state) -> jnp.ndarray:
+        if self.algo == "hasac" and self.auto_alpha:
+            return jnp.exp(actor_state.log_alpha)
+        return jnp.asarray(self.alpha_fixed)
+
+    def _avail_i(self, avail, i):
+        if avail is None:
+            return None
+        return avail[..., i, : self.act_spaces[i].n] if spaces.space_kind(
+            self.act_spaces[i]
+        ) == "Discrete" else None
+
+    def _env_actions(self, actor_states, carry, key, explore: bool):
+        """Per-agent exploration actions stacked for the env, (B, N, max_da)."""
+        acts = []
+        for i, actor in enumerate(self.actors):
+            k = jax.random.fold_in(key, i)
+            obs_i = carry.obs[:, i, : self.obs_dims[i]]
+            avail_i = self._avail_i(carry.avail, i)
+            if self.algo in ("haddpg", "hatd3", "maddpg", "matd3"):
+                a = actor.get_actions(actor_states[i].params, obs_i, k, add_noise=explore)
+            elif self.algo == "hasac":
+                a = actor.get_actions(actor_states[i].params, obs_i, k,
+                                      available_actions=avail_i, stochastic=explore)
+            else:  # had3qn
+                a = actor.get_actions(actor_states[i].params, obs_i, k,
+                                      epsilon_greedy=explore)
+            acts.append(a)
+        max_da = max(a.shape[-1] for a in acts)
+        stacked = jnp.stack(
+            [jnp.pad(a.astype(jnp.float32), ((0, 0), (0, max_da - a.shape[-1]))) for a in acts],
+            axis=1,
+        )
+        if self.discrete:
+            stacked = stacked.astype(jnp.int32)
+        return stacked, acts
+
+    def _random_actions(self, key, B):
+        acts = [
+            actor.random_actions(jax.random.fold_in(key, i), B)
+            for i, actor in enumerate(self.actors)
+        ]
+        max_da = max(a.shape[-1] for a in acts)
+        stacked = jnp.stack(
+            [jnp.pad(a.astype(jnp.float32), ((0, 0), (0, max_da - a.shape[-1]))) for a in acts],
+            axis=1,
+        )
+        if self.discrete:
+            stacked = stacked.astype(jnp.int32)
+        return stacked, acts
+
+    def _env_step_insert(self, carry: OffRolloutCarry, buf, actions_stacked, acts, key):
+        """Step env, build insert record with term/valid bookkeeping."""
+        tr = self.vec.step(carry.env_state, actions_stacked, key)
+        ts, final = tr.ts, tr.final
+        B, N = self.n_rollout_threads, self.n_agents
+        done_env = jnp.all(final.dones, axis=1, keepdims=True).astype(jnp.float32)  # (B,1)
+        terms = done_env * (1.0 - final.bad_transition.astype(jnp.float32)[:, None])
+        valid = 1.0 - carry.agent_deaths  # (B, N, 1)
+        new_deaths = final.dones[..., None].astype(jnp.float32)
+        new_deaths = jnp.where(done_env[:, :, None] > 0, 0.0, new_deaths)
+        rew = final.rewards[:, 0]  # EP team reward (B,1)
+        batch = dict(
+            share_obs=carry.share_obs,
+            obs=tuple(carry.obs[:, i, : self.obs_dims[i]] for i in range(N)),
+            actions=tuple(a.astype(jnp.float32) for a in acts),
+            rewards=rew,
+            dones=done_env,
+            valid_transitions=tuple(valid[:, i] for i in range(N)),
+            terms=terms,
+            next_share_obs=final.share_obs,
+            next_obs=tuple(final.obs[:, i, : self.obs_dims[i]] for i in range(N)),
+        )
+        if self.discrete and carry.avail is not None:
+            batch["available_actions"] = tuple(
+                carry.avail[:, i, : self.act_spaces[i].n] for i in range(N)
+            )
+            batch["next_available_actions"] = tuple(
+                final.available_actions[:, i, : self.act_spaces[i].n] for i in range(N)
+            )
+        buf = insert(buf, batch)
+        ep_ret = carry.ep_ret + jnp.mean(final.rewards[:, :, 0], axis=1)
+        emitted = jnp.where(done_env[:, 0] > 0, ep_ret, 0.0)
+        emitted_cnt = (done_env[:, 0] > 0).astype(jnp.float32)
+        new_carry = OffRolloutCarry(
+            env_state=tr.state,
+            obs=ts.obs,
+            share_obs=ts.share_obs,
+            avail=ts.available_actions,
+            agent_deaths=new_deaths,
+            ep_ret=jnp.where(done_env[:, 0] > 0, 0.0, ep_ret),
+        )
+        return new_carry, buf, emitted, emitted_cnt
+
+    # --------------------------------------------------------------- warmup
+    def warmup_block(self, state: OffPolicyState):
+        steps = max(self.warmup_steps // self.n_rollout_threads, 1)
+        rng, k = jax.random.split(state.rng)
+
+        def body(carry_buf, kk):
+            carry, buf = carry_buf
+            k1, k2 = jax.random.split(kk)
+            stacked, acts = self._random_actions(k1, self.n_rollout_threads)
+            carry, buf, _, _ = self._env_step_insert(carry, buf, stacked, acts, k2)
+            return (carry, buf), None
+
+        (carry, buf), _ = jax.lax.scan(
+            body, (state.carry, state.buffer), jax.random.split(k, steps)
+        )
+        return state._replace(carry=carry, buffer=buf, rng=rng)
+
+    # --------------------------------------------------------------- collect
+    def collect_block(self, state: OffPolicyState):
+        """train_interval exploration steps + buffer inserts."""
+        rng, k = jax.random.split(state.rng)
+
+        def body(carry_buf, kk):
+            carry, buf = carry_buf
+            k1, k2 = jax.random.split(kk)
+            stacked, acts = self._env_actions(state.actors, carry, k1, explore=True)
+            carry, buf, emitted, cnt = self._env_step_insert(carry, buf, stacked, acts, k2)
+            return (carry, buf), (emitted, cnt)
+
+        (carry, buf), (emitted, cnt) = jax.lax.scan(
+            body, (state.carry, state.buffer), jax.random.split(k, self.train_interval)
+        )
+        metrics = dict(
+            episode_return_sum=jnp.sum(emitted),
+            episode_count=jnp.sum(cnt),
+            mean_step_reward=jnp.mean(
+                jnp.where(state.buffer.cur_size > 0, 1.0, 1.0)
+            ) * 0 + 0.0,
+        )
+        return state._replace(carry=carry, buffer=buf, rng=rng), metrics
+
+    # ----------------------------------------------------------------- train
+    def train_block(self, state: OffPolicyState):
+        """update_per_train × train_interval gradient iterations."""
+        n_updates = self.update_per_train * self.train_interval
+
+        def one_update(st: OffPolicyState, _):
+            rng, k_sample, k_next, k_actor, k_order = jax.random.split(st.rng, 5)
+            sp = sample(
+                st.buffer, k_sample, self.batch_size, self.n_step, self.gamma,
+                self.n_rollout_threads,
+            )
+            total_it = st.total_it + 1
+            critic_state, actors = st.critic, st.actors
+
+            # ---- critic update -------------------------------------------
+            if self.algo == "hasac":
+                next_acts, next_logps = [], []
+                for i, actor in enumerate(self.actors):
+                    a, lp = actor.get_actions_with_logprobs(
+                        actors[i].params, sp.next_obs[i], jax.random.fold_in(k_next, i),
+                        None if sp.next_available_actions is None else sp.next_available_actions[i],
+                    )
+                    next_acts.append(a)
+                    next_logps.append(lp)
+                next_joint = jnp.concatenate(next_acts, axis=-1)
+                next_logp = jnp.sum(
+                    jnp.concatenate(next_logps, axis=-1), axis=-1, keepdims=True
+                )
+                alpha_c = (
+                    jnp.exp(critic_state.log_alpha)
+                    if (self.auto_alpha and critic_state.log_alpha is not None)
+                    else jnp.asarray(self.alpha_fixed)
+                )
+                critic_state, critic_loss = self.critic.train(
+                    critic_state, sp, next_joint, next_logp, alpha_c
+                )
+            elif self.algo == "had3qn":
+                next_actions = tuple(
+                    actor.get_target_actions(actors[i].target_params, sp.next_obs[i])
+                    for i, actor in enumerate(self.actors)
+                )
+                critic_state, critic_loss = self.critic.train(critic_state, sp, next_actions)
+            else:
+                next_actions = [
+                    actor.get_target_actions(
+                        actors[i].target_params, sp.next_obs[i], jax.random.fold_in(k_next, i)
+                    )
+                    for i, actor in enumerate(self.actors)
+                ]
+                next_joint = jnp.concatenate(next_actions, axis=-1)
+                critic_state, critic_loss = self.critic.train(critic_state, sp, next_joint)
+
+            # ---- actor updates every policy_freq iterations ---------------
+            def do_policy(carry):
+                actors, critic_state = carry
+                return self._policy_update(actors, critic_state, sp, k_actor, k_order)
+
+            def skip_policy(carry):
+                return carry
+
+            actors, critic_state = jax.lax.cond(
+                total_it % self.policy_freq == 0,
+                do_policy,
+                skip_policy,
+                (actors, critic_state),
+            )
+            new_st = st._replace(
+                actors=actors, critic=critic_state, total_it=total_it, rng=rng
+            )
+            return new_st, critic_loss
+
+        state, losses = jax.lax.scan(one_update, state, None, length=n_updates)
+        return state, dict(critic_loss=jnp.mean(losses))
+
+    # ------------------------------------------------- per-algo actor update
+    def _policy_update(self, actors, critic_state, sp: Sample, k_actor, k_order):
+        N = self.n_agents
+        if self.algo == "hasac":
+            actors, critic_state = self._hasac_update(actors, critic_state, sp, k_actor, k_order)
+        elif self.algo == "had3qn":
+            actors = self._had3qn_update(actors, critic_state, sp, k_order)
+        elif self.algo in MA_ALGOS:
+            actors = self._ma_update(actors, critic_state, sp, k_actor)
+        else:
+            actors = self._ha_update(actors, critic_state, sp, k_actor, k_order)
+        # soft updates (off_policy_ha_runner.py:236-239)
+        actors = tuple(
+            st._replace(
+                target_params=soft_update(st.target_params, st.params, self.actors[i].polyak)
+            )
+            for i, st in enumerate(actors)
+        )
+        critic_state = self.critic.soft_update_targets(critic_state)
+        return actors, critic_state
+
+    def _ha_update(self, actors, critic_state, sp, k_actor, k_order):
+        """HADDPG/HATD3 sequential updates (off_policy_ha_runner.py:206-235)."""
+        N = self.n_agents
+        init_actions = tuple(
+            self.actors[i].get_actions(actors[i].params, sp.obs[i]) for i in range(N)
+        )
+
+        def make_branch(i):
+            def branch(carry):
+                actors, actions = carry
+                actor = self.actors[i]
+                st = actors[i]
+
+                def loss_fn(params):
+                    a_i = actor.get_actions(params, sp.obs[i])
+                    joint = jnp.concatenate(
+                        [a_i if j == i else actions[j] for j in range(N)], axis=-1
+                    )
+                    q = self.critic.get_values(critic_state, sp.share_obs, joint)
+                    return -jnp.mean(q)
+
+                grads = jax.grad(loss_fn)(st.params)
+                updates, new_opt = actor.tx.update(grads, st.opt_state, st.params)
+                new_params = optax.apply_updates(st.params, updates)
+                st = st._replace(params=new_params, opt_state=new_opt)
+                actors = tuple(st if j == i else actors[j] for j in range(N))
+                new_a = actor.get_actions(new_params, sp.obs[i])
+                actions = tuple(new_a if j == i else actions[j] for j in range(N))
+                return (actors, actions)
+
+            return branch
+
+        return self._sequential(make_branch, (actors, init_actions), k_order)[0]
+
+    def _ma_update(self, actors, critic_state, sp, k_actor):
+        """MADDPG/MATD3: simultaneous; other agents use BUFFER actions
+        (off_policy_ma_runner.py:50-57)."""
+        N = self.n_agents
+        new_actors = []
+        for i in range(N):
+            actor = self.actors[i]
+            st = actors[i]
+
+            def loss_fn(params, i=i):
+                a_i = actor.get_actions(params, sp.obs[i])
+                joint = jnp.concatenate(
+                    [a_i if j == i else sp.actions[j] for j in range(N)], axis=-1
+                )
+                q = self.critic.get_values(critic_state, sp.share_obs, joint)
+                return -jnp.mean(q)
+
+            grads = jax.grad(loss_fn)(st.params)
+            updates, new_opt = actor.tx.update(grads, st.opt_state, st.params)
+            new_actors.append(
+                st._replace(params=optax.apply_updates(st.params, updates), opt_state=new_opt)
+            )
+        return tuple(new_actors)
+
+    def _hasac_update(self, actors, critic_state, sp, k_actor, k_order):
+        """HASAC sequential updates + per-agent/critic alpha
+        (off_policy_ha_runner.py:80-172)."""
+        N = self.n_agents
+        avail = lambda i: (
+            None if sp.available_actions is None else sp.available_actions[i]
+        )
+        init = [
+            self.actors[i].get_actions_with_logprobs(
+                actors[i].params, sp.obs[i], jax.random.fold_in(k_actor, 100 + i), avail(i)
+            )
+            for i in range(N)
+        ]
+        init_actions = tuple(a for a, _ in init)
+        init_logps = tuple(lp for _, lp in init)
+
+        def make_branch(i):
+            def branch(carry):
+                actors, actions, logps = carry
+                actor = self.actors[i]
+                st = actors[i]
+                alpha_i = self._alpha(st)
+                k_i = jax.random.fold_in(k_actor, i)
+
+                def loss_fn(params):
+                    a_i, lp_i = actor.get_actions_with_logprobs(
+                        params, sp.obs[i], k_i, avail(i)
+                    )
+                    joint = jnp.concatenate(
+                        [a_i if j == i else actions[j] for j in range(N)], axis=-1
+                    )
+                    q = self.critic.get_values(critic_state, sp.share_obs, joint)
+                    lp_sum = jnp.sum(lp_i, axis=-1, keepdims=True)
+                    obj = q - alpha_i * lp_sum
+                    if self.use_policy_active_masks:
+                        vt = sp.valid_transitions[i]
+                        return -jnp.sum(obj * vt) / jnp.maximum(jnp.sum(vt), 1e-9), lp_i
+                    return -jnp.mean(obj), lp_i
+
+                (loss, lp_i), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+                updates, new_opt = actor.tx.update(grads, st.opt_state, st.params)
+                new_params = optax.apply_updates(st.params, updates)
+                st = st._replace(params=new_params, opt_state=new_opt)
+                # per-agent alpha (off_policy_ha_runner.py:150-161)
+                if self.auto_alpha:
+                    def alpha_loss_fn(log_alpha):
+                        target = jax.lax.stop_gradient(
+                            jnp.sum(lp_i, axis=-1, keepdims=True) + self.target_entropy[i]
+                        )
+                        return -jnp.mean(log_alpha * target)
+
+                    ag = jax.grad(alpha_loss_fn)(st.log_alpha)
+                    au, new_aopt = self.alpha_tx.update(ag, st.alpha_opt_state, st.log_alpha)
+                    st = st._replace(
+                        log_alpha=optax.apply_updates(st.log_alpha, au),
+                        alpha_opt_state=new_aopt,
+                    )
+                actors = tuple(st if j == i else actors[j] for j in range(N))
+                # re-sample the updated agent's action (off_policy_ha_runner.py:162-169)
+                new_a, new_lp = actor.get_actions_with_logprobs(
+                    new_params, sp.obs[i], k_i, avail(i)
+                )
+                actions = tuple(new_a if j == i else actions[j] for j in range(N))
+                logps = tuple(new_lp if j == i else logps[j] for j in range(N))
+                return (actors, actions, logps)
+
+            return branch
+
+        actors, actions, logps = self._sequential(
+            make_branch, (actors, init_actions, init_logps), k_order
+        )
+        # critic-side alpha (off_policy_ha_runner.py:170-172)
+        if self.auto_alpha and critic_state.log_alpha is not None:
+            logp_sum = jnp.sum(jnp.concatenate(logps, axis=-1), axis=-1, keepdims=True)
+            critic_state = self.critic.update_alpha(
+                critic_state, logp_sum, float(np.sum(self.target_entropy))
+            )
+        return actors, critic_state
+
+    def _had3qn_update(self, actors, critic_state, sp, k_order):
+        """Coordinate descent on argmax-Q (off_policy_ha_runner.py:174-205)."""
+        N = self.n_agents
+        all_values = self.critic.q_all(critic_state.params, sp.share_obs)
+        init_actions = tuple(
+            self.actors[i].get_actions(actors[i].params, sp.obs[i]) for i in range(N)
+        )
+
+        def make_branch(i):
+            def branch(carry):
+                actors, actions = carry
+                actor = self.actors[i]
+                st = actors[i]
+                joint = self.critic.indiv_to_joint(actions)
+                critic_values = jnp.take_along_axis(all_values, joint, axis=-1)
+
+                def loss_fn(params):
+                    av = actor.train_values(params, sp.obs[i], actions[i])
+                    return jnp.mean((av - jax.lax.stop_gradient(critic_values)) ** 2)
+
+                grads = jax.grad(loss_fn)(st.params)
+                updates, new_opt = actor.tx.update(grads, st.opt_state, st.params)
+                st = st._replace(
+                    params=optax.apply_updates(st.params, updates), opt_state=new_opt
+                )
+                actors = tuple(st if j == i else actors[j] for j in range(N))
+                # update_actions(i): argmax over this agent's joint slice
+                joint_idx = self.critic.get_joint_idx(actions, i)
+                vals = jnp.take_along_axis(all_values, joint_idx, axis=-1)
+                new_a = jnp.argmax(vals, axis=-1, keepdims=True)
+                actions = tuple(new_a if j == i else actions[j] for j in range(N))
+                return (actors, actions)
+
+            return branch
+
+        return self._sequential(make_branch, (actors, init_actions), k_order)[0]
+
+    def _sequential(self, make_branch, carry, k_order):
+        """Random/fixed sequential agent loop (lax.switch over branches)."""
+        N = self.n_agents
+        branches = [make_branch(i) for i in range(N)]
+        if self.fixed_order or N == 1:
+            for i in range(N):
+                carry = branches[i](carry)
+            return carry
+        perm = jax.random.permutation(k_order, N)
+
+        def body(j, c):
+            return jax.lax.switch(perm[j], branches, c)
+
+        return jax.lax.fori_loop(0, N, body, carry)
+
+    # ------------------------------------------------------------------ eval
+    def eval_rollout(self, state: OffPolicyState, n_eval_envs: int):
+        vec = VecEnv(self.env, n_eval_envs)
+        rng = jax.random.fold_in(state.rng, 31337)
+        env_state, ets = vec.reset(rng)
+
+        def step(carry, k):
+            env_state, obs, avail, ep_ret, alive = carry
+            acts = []
+            for i, actor in enumerate(self.actors):
+                obs_i = obs[:, i, : self.obs_dims[i]]
+                avail_i = None
+                if avail is not None and spaces.space_kind(self.act_spaces[i]) == "Discrete":
+                    avail_i = avail[:, i, : self.act_spaces[i].n]
+                if self.algo in ("haddpg", "hatd3", "maddpg", "matd3"):
+                    a = actor.get_actions(state.actors[i].params, obs_i, k, add_noise=False)
+                elif self.algo == "hasac":
+                    a = actor.get_actions(state.actors[i].params, obs_i, k,
+                                          available_actions=avail_i, stochastic=False)
+                else:
+                    a = actor.get_actions(state.actors[i].params, obs_i, k,
+                                          epsilon_greedy=False)
+                acts.append(a)
+            max_da = max(a.shape[-1] for a in acts)
+            stacked = jnp.stack(
+                [jnp.pad(a.astype(jnp.float32), ((0, 0), (0, max_da - a.shape[-1]))) for a in acts],
+                axis=1,
+            )
+            if self.discrete:
+                stacked = stacked.astype(jnp.int32)
+            tr = vec.step(env_state, stacked, k)
+            done_env = jnp.all(tr.ts.dones, axis=1)
+            ep_ret = ep_ret + jnp.mean(tr.final.rewards[:, :, 0], axis=1) * alive
+            alive = alive * (1.0 - done_env.astype(jnp.float32))
+            return (tr.state, tr.ts.obs, tr.ts.available_actions, ep_ret, alive), None
+
+        init = (env_state, ets.obs, ets.available_actions,
+                jnp.zeros((n_eval_envs,)), jnp.ones((n_eval_envs,)))
+        final_carry, _ = jax.lax.scan(
+            step, init, jax.random.split(rng, getattr(self.env, "max_cycles", 25))
+        )
+        return jnp.mean(final_carry[3])
+
+    # ------------------------------------------------------------------- run
+    def run(self, seed: int = 1, logger=None, save_dir=None, log_fn=None):
+        state = self.init_state(seed)
+        state = self._warmup(state)
+        total_blocks = max(
+            int(self.num_env_steps) // self.n_rollout_threads // self.train_interval, 1
+        )
+        eval_interval = self.algo_args["train"].get("eval_interval", 10000)
+        blocks_per_eval = max(eval_interval // self.train_interval, 1)
+        use_eval = self.algo_args.get("eval", {}).get("use_eval", False)
+        n_eval = self.algo_args.get("eval", {}).get("n_eval_rollout_threads", 10)
+        history = []
+        t_start = time.time()
+        last_return = float("nan")
+        for block in range(1, total_blocks + 1):
+            state, cmetrics = self._collect(state)
+            state, tmetrics = self._train(state)
+            if block % blocks_per_eval == 0 or block == total_blocks:
+                m = jax.device_get({**cmetrics, **tmetrics})
+                if m["episode_count"] > 0:
+                    last_return = float(m["episode_return_sum"] / m["episode_count"])
+                steps = self.warmup_steps + block * self.train_interval * self.n_rollout_threads
+                rec = dict(
+                    steps=steps,
+                    mean_episode_return=last_return,
+                    critic_loss=float(m["critic_loss"]),
+                    fps=block * self.train_interval * self.n_rollout_threads
+                    / (time.time() - t_start),
+                )
+                if use_eval:
+                    rec["eval_return"] = float(self._eval_fn(state, n_eval))
+                history.append(rec)
+                if logger is not None:
+                    logger.log_episode(rec)
+                if log_fn:
+                    log_fn(rec)
+                if save_dir is not None:
+                    from harl_tpu.utils.checkpoint import save_state
+
+                    save_state(save_dir, state, steps)
+        return state, history
