@@ -42,13 +42,17 @@ class VCritic:
         self.use_clipped_value_loss = cfg.get("use_clipped_value_loss", True)
         self.use_huber_loss = cfg.get("use_huber_loss", True)
         self.huber_delta = cfg.get("huber_delta", 10.0)
+        self.use_recurrent_policy = cfg.get("use_recurrent_policy", False)
+        self.data_chunk_length = cfg.get("data_chunk_length", 10)
 
     def init(self, key, example_share_obs):
         return self.critic.init(key, example_share_obs)
 
-    def get_values(self, params, share_obs):
-        v, _ = self.critic.apply(params, share_obs)
-        return v
+    def get_values(self, params, share_obs, rnn_states=None, masks=None):
+        v, new_rnn = self.critic.apply(params, share_obs, rnn_states, masks)
+        if rnn_states is None:
+            return v
+        return v, new_rnn
 
     def value_loss(self, values, value_preds, returns, vn: Optional[ValueNormState]):
         """cal_value_loss (v_critic.py:75-114); vn already updated by caller."""
@@ -77,13 +81,31 @@ class VCritic:
         batch: CriticBatch,
         key,
     ) -> Tuple[AgentTrainState, Optional[ValueNormState], jnp.ndarray]:
-        """Full critic train loop; returns (state, vn, stats[value_loss, grad_norm])."""
+        """Full critic train loop; returns (state, vn, stats[value_loss, grad_norm]).
+
+        Recurrent critics use the same chunked-BPTT layout as the actor
+        (recurrent_generator_critic)."""
         T, B = batch.share_obs.shape[:2]
-        M = T * B
+        if self.use_recurrent_policy:
+            L = self.data_chunk_length
+            C = B * (T // L)
+            M = C
+
+            def prep(x):  # (T, B, ...) → (C, L, ...)
+                x = jnp.swapaxes(x, 0, 1)
+                return x.reshape((C, L) + x.shape[2:])
+
+            rnn0 = jnp.swapaxes(batch.rnn_states, 0, 1)[:, ::L]
+            rnn0 = rnn0.reshape((C,) + batch.rnn_states.shape[2:])
+        else:
+            M = T * B
+            prep = lambda x: x.reshape((M,) + x.shape[2:])
+            rnn0 = None
         mb_size = M // self.num_mini_batch
-        share_obs = batch.share_obs.reshape(M, -1)
-        value_preds = batch.value_preds.reshape(M, 1)
-        returns = batch.returns.reshape(M, 1)
+        share_obs = prep(batch.share_obs)
+        value_preds = prep(batch.value_preds)
+        returns = prep(batch.returns)
+        masks = prep(batch.masks)
 
         perms = jax.vmap(lambda k: jax.random.permutation(k, M))(
             jax.random.split(key, self.critic_epoch)
@@ -91,10 +113,16 @@ class VCritic:
         idx = perms.reshape(self.critic_epoch * self.num_mini_batch, mb_size)
 
         def loss_fn(params, mb_idx, vn):
-            so = jnp.take(share_obs, mb_idx, axis=0)
-            vp = jnp.take(value_preds, mb_idx, axis=0)
-            ret = jnp.take(returns, mb_idx, axis=0)
-            values = self.get_values(params, so)
+            take = lambda x: jnp.take(x, mb_idx, axis=0)
+            so, vp, ret = take(share_obs), take(value_preds), take(returns)
+            if self.use_recurrent_policy:
+                tm = lambda x: jnp.swapaxes(x, 0, 1)
+                values, _ = self.critic.apply(
+                    params, tm(so), take(rnn0), tm(take(masks)), seq=True
+                )
+                vp, ret = tm(vp), tm(ret)
+            else:
+                values = self.get_values(params, so)
             loss = self.value_loss(values, vp, ret, vn)
             return loss * self.value_loss_coef, loss
 

@@ -62,6 +62,8 @@ class HAPPOActor:
         self.action_aggregation = cfg.get("action_aggregation", "prod")
         self.std_x_coef = cfg.get("std_x_coef", 1.0)
         self.std_y_coef = cfg.get("std_y_coef", 0.5)
+        self.use_recurrent_policy = cfg.get("use_recurrent_policy", False)
+        self.data_chunk_length = cfg.get("data_chunk_length", 10)
 
     def init(self, key, example_obs) -> Any:
         return self.policy.init(key, example_obs)
@@ -69,18 +71,29 @@ class HAPPOActor:
     # -- forward helpers ----------------------------------------------------
     def evaluate_logp(self, params, batch: ActorBatch) -> jnp.ndarray:
         """Full-batch behavior log-probs (the factor evaluations at
-        on_policy_ha_runner.py:66-83,96-113). Returns (T·B, lp)."""
-        head, _ = self.policy.apply(params, _flat(batch.obs))
+        on_policy_ha_runner.py:66-83,96-113). Returns (T·B, lp).
+
+        Recurrent policies run the whole episode in sequence mode from the
+        stored initial hidden state (rnn_states[0:1] in the reference)."""
+        if self.use_recurrent_policy:
+            head, _ = self.policy.apply(
+                params, batch.obs, batch.rnn_states[0], batch.masks, seq=True
+            )
+        else:
+            head, _ = self.policy.apply(params, _flat(batch.obs))
+            head = jax.tree.map(
+                lambda x: x.reshape(batch.obs.shape[:2] + x.shape[1:]), head
+            )
         ev = act_evaluate(
             head,
             self.action_space,
-            _flat(batch.actions),
-            None if batch.available_actions is None else _flat(batch.available_actions),
-            _flat(batch.active_masks),
+            batch.actions,
+            batch.available_actions,
+            batch.active_masks,
             self.std_x_coef,
             self.std_y_coef,
         )
-        return ev.log_probs
+        return _flat(ev.log_probs)
 
     # -- training -----------------------------------------------------------
     def update(
@@ -92,21 +105,45 @@ class HAPPOActor:
         key,
         state_type: str = "EP",
     ):
-        """Full HAPPO.train for one agent. Returns (new_state, stats)."""
+        """Full HAPPO.train for one agent. Returns (new_state, stats).
+
+        Feed-forward path: shuffled flat minibatches
+        (feed_forward_generator_actor). Recurrent path: chunked BPTT — the
+        episode is cut into ``data_chunk_length`` segments whose initial
+        hidden states come from the rollout (recurrent_generator_actor,
+        on_policy_actor_buffer.py:223-326), and each minibatch of chunks runs
+        the GRU in sequence mode.
+        """
         T, B = batch.obs.shape[:2]
-        M = T * B
-        mb_size = M // self.num_mini_batch
 
         if state_type == "EP":
             advantages = normalize_advantages_masked(advantages, batch.active_masks)
 
-        obs = _flat(batch.obs)
-        actions = _flat(batch.actions)
-        old_logp = _flat(batch.logp)
-        active = _flat(batch.active_masks)
-        avail = None if batch.available_actions is None else _flat(batch.available_actions)
-        adv = _flat(advantages)
-        fac = _flat(factor)
+        if self.use_recurrent_policy:
+            L = self.data_chunk_length
+            assert T % L == 0, "episode_length must be a multiple of data_chunk_length"
+            C = B * (T // L)
+            M = C
+            def prep(x):  # (T, B, ...) → (C, L, ...)
+                x = jnp.swapaxes(x, 0, 1)
+                return x.reshape((C, L) + x.shape[2:])
+
+            rnn0 = jnp.swapaxes(batch.rnn_states, 0, 1)[:, ::L]  # (B, T/L, Lr, H)
+            rnn0 = rnn0.reshape((C,) + batch.rnn_states.shape[2:])
+        else:
+            M = T * B
+            prep = _flat
+            rnn0 = None
+
+        mb_size = M // self.num_mini_batch
+        obs = prep(batch.obs)
+        actions = prep(batch.actions)
+        old_logp = prep(batch.logp)
+        masks = prep(batch.masks)
+        active = prep(batch.active_masks)
+        avail = None if batch.available_actions is None else prep(batch.available_actions)
+        adv = prep(advantages)
+        fac = prep(factor)
 
         # epoch-wise shuffles stacked into one index tensor
         perms = jax.vmap(lambda k: jax.random.permutation(k, M))(
@@ -115,14 +152,19 @@ class HAPPOActor:
         idx = perms.reshape(self.ppo_epoch * self.num_mini_batch, mb_size)
 
         def loss_fn(params, mb_idx):
-            o = jnp.take(obs, mb_idx, axis=0)
-            a = jnp.take(actions, mb_idx, axis=0)
-            olp = jnp.take(old_logp, mb_idx, axis=0)
-            am = jnp.take(active, mb_idx, axis=0)
-            ad = jnp.take(adv, mb_idx, axis=0)
-            fc = jnp.take(fac, mb_idx, axis=0)
-            av = None if avail is None else jnp.take(avail, mb_idx, axis=0)
-            head, _ = self.policy.apply(params, o)
+            take = lambda x: jnp.take(x, mb_idx, axis=0)
+            o, a, olp, am, ad, fc = map(take, (obs, actions, old_logp, active, adv, fac))
+            av = None if avail is None else take(avail)
+            if self.use_recurrent_policy:
+                # (mb, L, ...) → time-major (L, mb, ...) for the GRU scan
+                tm = lambda x: jnp.swapaxes(x, 0, 1)
+                head, _ = self.policy.apply(
+                    params, tm(o), take(rnn0), tm(take(masks)), seq=True
+                )
+                a, olp, am, ad, fc = map(tm, (a, olp, am, ad, fc))
+                av = None if av is None else tm(av)
+            else:
+                head, _ = self.policy.apply(params, o)
             ev = act_evaluate(head, self.action_space, a, av, am,
                               self.std_x_coef, self.std_y_coef)
             ratio = aggregate_ratio(ev.log_probs - olp, self.action_aggregation)

@@ -22,4 +22,16 @@ def make_env(env_name: str, env_args: dict):
             continuous_actions=env_args.get("continuous_actions", True),
             **kwargs,
         )
+    if env_name in ("smaclite", "smac", "smacv2"):
+        from harl_tpu.envs.smaclite.smaclite import make_smaclite
+
+        kwargs = {}
+        for k in ("episode_limit", "state_type", "reward_scale"):
+            if k in env_args:
+                kwargs[k] = env_args[k]
+        return make_smaclite(env_args.get("map_name", "5m_vs_5m"), **kwargs)
+    if env_name == "mamujoco":
+        from harl_tpu.envs.mamujoco.mamujoco import make_mamujoco
+
+        return make_mamujoco(env_args)
     raise ValueError(f"Unknown env {env_name!r}")

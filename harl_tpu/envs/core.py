@@ -32,6 +32,8 @@ class TimeStep(NamedTuple):
     dones: jnp.ndarray                  # (n_agents,) bool
     bad_transition: jnp.ndarray         # () bool — truncation flag
     available_actions: Optional[jnp.ndarray]  # (n_agents, n_actions) or None
+    agent_state: Optional[jnp.ndarray] = None  # (n_agents, ds_fp) — FP state
+    metrics: Optional[dict] = None      # env metrics (e.g. {"won": bool})
 
 
 class Transition(NamedTuple):
@@ -63,7 +65,16 @@ def auto_reset_step(env, state, action, key) -> Transition:
         )
     else:
         avail = None
-    post = TimeStep(obs, share_obs, ts.rewards, ts.dones, ts.bad_transition, avail)
+    if ts.agent_state is not None:
+        agent_state = jnp.where(
+            _expand(done_env, ts.agent_state.ndim), reset_ts.agent_state, ts.agent_state
+        )
+    else:
+        agent_state = None
+    post = TimeStep(
+        obs, share_obs, ts.rewards, ts.dones, ts.bad_transition, avail,
+        agent_state, ts.metrics,
+    )
     return Transition(new_state, post, ts)
 
 

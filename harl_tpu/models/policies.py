@@ -44,6 +44,12 @@ class StochasticPolicy(nn.Module):
             name="base",
         )(obs)
         if self.use_recurrent_policy:
+            if rnn_states is None:  # e.g. during init
+                rnn_states = jnp.zeros(
+                    obs.shape[:-1][-1:] + (self.recurrent_n, self.hidden_sizes[-1])
+                )
+            if masks is None:
+                masks = jnp.ones(obs.shape[:-1] + (1,))
             x, rnn_states = GRUStack(
                 self.hidden_sizes[-1], self.recurrent_n, name="rnn"
             )(x, rnn_states, masks, seq=seq)

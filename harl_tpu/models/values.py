@@ -37,6 +37,12 @@ class VNet(nn.Module):
             name="base",
         )(cent_obs)
         if self.use_recurrent_policy:
+            if rnn_states is None:  # e.g. during init
+                rnn_states = jnp.zeros(
+                    cent_obs.shape[:-1][-1:] + (self.recurrent_n, self.hidden_sizes[-1])
+                )
+            if masks is None:
+                masks = jnp.ones(cent_obs.shape[:-1] + (1,))
             x, rnn_states = GRUStack(
                 self.hidden_sizes[-1], self.recurrent_n, name="rnn"
             )(x, rnn_states, masks, seq=seq)

@@ -42,10 +42,10 @@ def update_value_norm(
     per_element_update: bool = False,
     norm_axes: int = 1,
 ) -> ValueNormState:
-    """EMA update over the first ``norm_axes`` axes (valuenorm.py:54-75)."""
+    """EMA update over all leading axes (valuenorm.py:54-75; the reference's
+    ``norm_axes`` always equals input.ndim − running_mean.ndim in practice)."""
+    del norm_axes
     axes = tuple(range(input_vector.ndim - state.running_mean.ndim))
-    if norm_axes != len(axes):
-        axes = tuple(range(norm_axes))
     batch_mean = jnp.mean(input_vector, axis=axes)
     batch_sq_mean = jnp.mean(input_vector ** 2, axis=axes)
     if per_element_update:

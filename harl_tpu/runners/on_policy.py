@@ -196,31 +196,46 @@ class OnPolicyRunner:
     # --------------------------------------------------------------- rollout
     def _policy_step(self, actor_states, carry, key):
         """All agents act once. Returns stacked actions + per-agent outputs."""
-        acts, logps = [], []
+        acts, logps, new_rnn = [], [], []
         for i, actor in enumerate(self.actors):
             obs_i = carry.obs[:, i, : self.obs_dims[i]]
             avail_i = None
             if carry.avail is not None:
                 avail_i = carry.avail[:, i, : _space_n(self.act_spaces[i])]
-            head, _ = actor.policy.apply(actor_states[i].params, obs_i)
+            if self.use_recurrent_policy:
+                head, h = actor.policy.apply(
+                    actor_states[i].params, obs_i, carry.actor_rnn[i], carry.masks[:, i]
+                )
+            else:
+                head, h = actor.policy.apply(actor_states[i].params, obs_i), None
+                head = head[0]
             out = act_sample(
                 jax.random.fold_in(key, i), head, self.act_spaces[i], avail_i,
                 std_x_coef=actor.std_x_coef, std_y_coef=actor.std_y_coef,
             )
             acts.append(out.actions)
             logps.append(out.log_probs)
+            new_rnn.append(h if h is not None else carry.actor_rnn[i])
         max_da = max(a.shape[-1] for a in acts)
         stacked = jnp.stack(
             [jnp.pad(a, ((0, 0), (0, max_da - a.shape[-1]))) for a in acts], axis=1
         )
         if self.discrete:
             stacked = stacked.astype(jnp.int32)
-        return stacked, acts, logps
+        return stacked, acts, logps, tuple(new_rnn)
 
     def rollout_step(self, actor_states, critic_params, carry: RolloutCarry, key):
         k_act, k_env = jax.random.split(key)
-        actions_stacked, acts, logps = self._policy_step(actor_states, carry, k_act)
-        value = self.critic.get_values(critic_params, carry.share_obs)  # (B,1)
+        actions_stacked, acts, logps, new_actor_rnn = self._policy_step(
+            actor_states, carry, k_act
+        )
+        if self.use_recurrent_policy:
+            value, new_critic_rnn = self.critic.get_values(
+                critic_params, carry.share_obs, carry.critic_rnn, carry.masks[:, 0]
+            )
+        else:
+            value = self.critic.get_values(critic_params, carry.share_obs)  # (B,1)
+            new_critic_rnn = carry.critic_rnn
         tr = self.vec.step(carry.env_state, actions_stacked, k_env)
         ts = tr.ts
         B, N = self.n_rollout_threads, self.n_agents
@@ -235,6 +250,10 @@ class OnPolicyRunner:
         ep_len = carry.ep_len + 1
         emitted_ret = jnp.where(done_env, ep_ret, 0.0)
         emitted_cnt = done_env.astype(jnp.float32)
+        if tr.final.metrics is not None and "won" in tr.final.metrics:
+            emitted_won = jnp.where(done_env, tr.final.metrics["won"], 0.0)
+        else:
+            emitted_won = jnp.zeros_like(emitted_cnt)
         new_carry = RolloutCarry(
             env_state=tr.state,
             obs=ts.obs,
@@ -243,9 +262,9 @@ class OnPolicyRunner:
             active_masks=new_active,
             avail=ts.available_actions,
             actor_rnn=tuple(
-                jnp.where(done_env[:, None, None], 0.0, h) for h in carry.actor_rnn
+                jnp.where(done_env[:, None, None], 0.0, h) for h in new_actor_rnn
             ),
-            critic_rnn=jnp.where(done_env[:, None, None], 0.0, carry.critic_rnn),
+            critic_rnn=jnp.where(done_env[:, None, None], 0.0, new_critic_rnn),
             ep_ret=jnp.where(done_env, 0.0, ep_ret),
             ep_len=jnp.where(done_env, 0.0, ep_len),
         )
@@ -262,8 +281,11 @@ class OnPolicyRunner:
             next_masks=new_masks[:, 0],    # (B,1) env-level
             next_bad_masks=bad_mask,       # (B,1)
             next_active=new_active,
+            actor_rnn=carry.actor_rnn,     # hidden states at INPUT of step t
+            critic_rnn=carry.critic_rnn,
             emitted_ret=emitted_ret,
             emitted_cnt=emitted_cnt,
+            emitted_won=emitted_won,
         )
         return new_carry, step_data
 
@@ -281,7 +303,12 @@ class OnPolicyRunner:
         )
 
         # ---- returns ------------------------------------------------------
-        next_value = self.critic.get_values(critic_state.params, carry.share_obs)
+        if self.use_recurrent_policy:
+            next_value, _ = self.critic.get_values(
+                critic_state.params, carry.share_obs, carry.critic_rnn, carry.masks[:, 0]
+            )
+        else:
+            next_value = self.critic.get_values(critic_state.params, carry.share_obs)
         values = jnp.concatenate([data["value"], next_value[None]], axis=0)  # (T+1,B,1)
         if vn is not None:
             values_den = denormalize(vn, values)
@@ -312,7 +339,7 @@ class OnPolicyRunner:
             batches.append(
                 ActorBatch(
                     obs=data["obs"][:, :, i, : self.obs_dims[i]],
-                    rnn_states=jnp.zeros((T, B, 1, 1)),  # recurrent path: later round
+                    rnn_states=data["actor_rnn"][i],
                     actions=data["actions"][i],
                     logp=data["logp"][i],
                     masks=data["masks"][:, :, i],
@@ -366,7 +393,7 @@ class OnPolicyRunner:
         # ---- critic -------------------------------------------------------
         critic_batch = CriticBatch(
             share_obs=data["share_obs"],
-            rnn_states=jnp.zeros((T, B, 1, 1)),
+            rnn_states=data["critic_rnn"],
             value_preds=data["value"],
             returns=returns,
             masks=data["masks"][:, :, 0],
@@ -382,6 +409,7 @@ class OnPolicyRunner:
             mean_step_reward=jnp.mean(data["reward"]),
             episode_return_sum=jnp.sum(data["emitted_ret"]),
             episode_count=jnp.sum(data["emitted_cnt"]),
+            episode_won_sum=jnp.sum(data["emitted_won"]),
         )
         new_ts = TrainState(actor_states, critic_state, vn, carry, rng)
         return new_ts, metrics
@@ -393,18 +421,28 @@ class OnPolicyRunner:
         rng = jax.random.fold_in(ts.rng, 7777)
         env_state, ets = vec.reset(rng)
 
+        H = self.hidden_sizes[-1]
+
         def step(carry, k):
-            env_state, obs, avail, ep_ret, alive = carry
-            acts = []
+            env_state, obs, avail, ep_ret, alive, rnn = carry
+            acts, new_rnn = [], []
             for i, actor in enumerate(self.actors):
                 obs_i = obs[:, i, : self.obs_dims[i]]
                 avail_i = None
                 if avail is not None:
                     avail_i = avail[:, i, : _space_n(self.act_spaces[i])]
-                head, _ = actor.policy.apply(ts.actors[i].params, obs_i)
+                if self.use_recurrent_policy:
+                    head, h = actor.policy.apply(
+                        ts.actors[i].params, obs_i, rnn[i],
+                        alive[:, None],
+                    )
+                else:
+                    head, _ = actor.policy.apply(ts.actors[i].params, obs_i)
+                    h = rnn[i]
                 out = act_sample(k, head, self.act_spaces[i], avail_i, deterministic=True,
                                  std_x_coef=actor.std_x_coef, std_y_coef=actor.std_y_coef)
                 acts.append(out.actions)
+                new_rnn.append(h)
             max_da = max(a.shape[-1] for a in acts)
             stacked = jnp.stack(
                 [jnp.pad(a, ((0, 0), (0, max_da - a.shape[-1]))) for a in acts], axis=1
@@ -415,11 +453,18 @@ class OnPolicyRunner:
             done_env = jnp.all(tr.ts.dones, axis=1)
             ep_ret = ep_ret + tr.ts.rewards[:, 0, 0] * alive
             alive = alive * (1.0 - done_env.astype(jnp.float32))
-            return (tr.state, tr.ts.obs, tr.ts.available_actions, ep_ret, alive), None
+            return (
+                tr.state, tr.ts.obs, tr.ts.available_actions, ep_ret, alive,
+                tuple(new_rnn),
+            ), None
 
         init = (
             env_state, ets.obs, ets.available_actions,
             jnp.zeros((n_eval_envs,)), jnp.ones((n_eval_envs,)),
+            tuple(
+                jnp.zeros((n_eval_envs, self.recurrent_n, H))
+                for _ in range(self.n_agents)
+            ),
         )
         final_carry, _ = jax.lax.scan(
             step, init, jax.random.split(rng, self._eval_len())
@@ -452,8 +497,10 @@ class OnPolicyRunner:
             state, metrics = self._train_iteration(state)
             if episode % log_interval == 0 or episode == self.episodes:
                 m = jax.device_get(metrics)
+                win_rate = None
                 if m["episode_count"] > 0:  # keep last value when no episode ended
                     last_return = float(m["episode_return_sum"] / m["episode_count"])
+                    win_rate = float(m["episode_won_sum"] / m["episode_count"])
                 fps = episode * steps_per_iter / (time.time() - t_start)
                 astats = np.asarray(m["actor_stats"])
                 rec = dict(
@@ -473,6 +520,8 @@ class OnPolicyRunner:
                         for i in range(self.n_agents)
                     ],
                 )
+                if win_rate is not None:
+                    rec["win_rate"] = win_rate
                 history.append(rec)
                 if logger is not None:
                     logger.log_episode(rec)

@@ -126,3 +126,27 @@ def test_eval_rollout_runs():
     state = runner.init_state(0)
     ret = runner._eval_fn(state, 4)
     assert np.isfinite(float(ret))
+
+
+def test_happo_recurrent_policy():
+    """Recurrent actors+critic train end-to-end with chunked BPTT."""
+    cfg = _cfg(**{"model.use_recurrent_policy": True, "model.data_chunk_length": 5})
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "pettingzoo_mpe", "exp_name": "test"},
+        cfg,
+        {"scenario": "simple_spread_v2", "continuous_actions": True, "max_cycles": 10},
+    )
+    state = runner.init_state(0)
+    new_state, metrics = runner._train_iteration(state)
+    assert np.isfinite(float(metrics["value_loss"]))
+    # GRU params updated
+    flat = jax.tree_util.tree_flatten_with_path(state.actors[0].params)[0]
+    rnn_leaves_before = [l for p, l in flat if any("rnn" in str(k) for k in p)]
+    flat2 = jax.tree_util.tree_flatten_with_path(new_state.actors[0].params)[0]
+    rnn_leaves_after = [l for p, l in flat2 if any("rnn" in str(k) for k in p)]
+    assert rnn_leaves_before and any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(rnn_leaves_before, rnn_leaves_after)
+    )
+    ret = runner._eval_fn(new_state, 4)
+    assert np.isfinite(float(ret))
