@@ -34,4 +34,8 @@ def make_env(env_name: str, env_args: dict):
         from harl_tpu.envs.mamujoco.mamujoco import make_mamujoco
 
         return make_mamujoco(env_args)
+    if env_name == "gym":
+        from harl_tpu.envs.gym.gym_env import make_gym
+
+        return make_gym(env_args)
     raise ValueError(f"Unknown env {env_name!r}")

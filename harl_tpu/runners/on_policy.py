@@ -106,7 +106,18 @@ class OnPolicyRunner:
 
             env = make_env(args["env"], env_args)
         self.env = env
-        self.vec = VecEnv(env, self.n_rollout_threads)
+        self.host_mode = not getattr(env, "is_jax", True)
+        if self.host_mode:
+            from harl_tpu.envs import make_env
+            from harl_tpu.envs.host import HostVecEnv
+
+            fns = [env] + [
+                (lambda: make_env(args["env"], env_args))
+                for _ in range(self.n_rollout_threads - 1)
+            ]
+            self.vec = HostVecEnv([(lambda e=env: e)] + fns[1:])
+        else:
+            self.vec = VecEnv(env, self.n_rollout_threads)
         self.n_agents = env.n_agents
         self.obs_spaces = env.observation_space
         self.share_obs_space = env.share_observation_space[0]
@@ -160,15 +171,30 @@ class OnPolicyRunner:
         )
         self.critic = VCritic(critic_net, critic_tx, algo_cfg)
 
-        self._train_iteration = jax.jit(self.train_iteration)
-        self._eval_fn = jax.jit(self.eval_rollout, static_argnums=(1,))
+        if self.host_mode:
+            self._host_policy = jax.jit(self._host_policy_step)
+            self._update_jit = jax.jit(self.update_phase)
+        else:
+            self._train_iteration = jax.jit(self.train_iteration)
+            self._eval_fn = jax.jit(self.eval_rollout, static_argnums=(1,))
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: int) -> TrainState:
         rng = jax.random.PRNGKey(seed)
         rng, k_env, *k_actors = jax.random.split(rng, self.n_agents + 2)
         rng, k_critic = jax.random.split(rng)
-        env_state, ts = self.vec.reset(k_env)
+        if self.host_mode:
+            obs_np, share_np, avail_np = self.vec.reset()
+
+            class _HostTS:
+                obs = jnp.asarray(obs_np)
+                share_obs = jnp.asarray(share_np)
+                available_actions = None if avail_np is None else jnp.asarray(avail_np)
+
+            ts = _HostTS()
+            env_state = jnp.zeros(())
+        else:
+            env_state, ts = self.vec.reset(k_env)
         B, N = self.n_rollout_threads, self.n_agents
         actor_states = []
         for i, actor in enumerate(self.actors):
@@ -302,19 +328,40 @@ class OnPolicyRunner:
             scan_step, ts.carry, jax.random.split(k_roll, T)
         )
 
+        actor_states, critic_state, vn, metrics = self.update_phase(
+            actor_states, critic_state, vn, data,
+            first_masks0=ts.carry.masks[:, 0],
+            last_share_obs=carry.share_obs,
+            last_masks0=carry.masks[:, 0],
+            last_critic_rnn=carry.critic_rnn,
+            k_order=k_order, k_update=k_update, k_critic=k_critic,
+        )
+        new_ts = TrainState(actor_states, critic_state, vn, carry, rng)
+        return new_ts, metrics
+
+    def update_phase(
+        self, actor_states, critic_state, vn, data,
+        first_masks0, last_share_obs, last_masks0, last_critic_rnn,
+        k_order, k_update, k_critic,
+    ):
+        """Returns + sequential update + critic train — shared by the pure-JAX
+        rollout path and the host-env collection path."""
+        T, B, N = (
+            data["reward"].shape[0], data["reward"].shape[1], self.n_agents
+        )
         # ---- returns ------------------------------------------------------
         if self.use_recurrent_policy:
             next_value, _ = self.critic.get_values(
-                critic_state.params, carry.share_obs, carry.critic_rnn, carry.masks[:, 0]
+                critic_state.params, last_share_obs, last_critic_rnn, last_masks0
             )
         else:
-            next_value = self.critic.get_values(critic_state.params, carry.share_obs)
+            next_value = self.critic.get_values(critic_state.params, last_share_obs)
         values = jnp.concatenate([data["value"], next_value[None]], axis=0)  # (T+1,B,1)
         if vn is not None:
             values_den = denormalize(vn, values)
         else:
             values_den = values
-        masks_tb = jnp.concatenate([ts.carry.masks[None, :, 0], data["next_masks"]], axis=0)
+        masks_tb = jnp.concatenate([first_masks0[None], data["next_masks"]], axis=0)
         bad_tb = jnp.concatenate([jnp.ones((1, B, 1)), data["next_bad_masks"]], axis=0)
         if self.use_gae:
             returns = compute_gae(
@@ -411,8 +458,159 @@ class OnPolicyRunner:
             episode_count=jnp.sum(data["emitted_cnt"]),
             episode_won_sum=jnp.sum(data["emitted_won"]),
         )
-        new_ts = TrainState(actor_states, critic_state, vn, carry, rng)
-        return new_ts, metrics
+        return actor_states, critic_state, vn, metrics
+
+    # ----------------------------------------------------- host-env support
+    def _host_policy_step(self, actor_states, critic_params, carry: RolloutCarry, key):
+        """Jitted policy+value step for host-env collection."""
+        actions_stacked, acts, logps, new_rnn = self._policy_step(actor_states, carry, key)
+        if self.use_recurrent_policy:
+            value, new_critic_rnn = self.critic.get_values(
+                critic_params, carry.share_obs, carry.critic_rnn, carry.masks[:, 0]
+            )
+        else:
+            value = self.critic.get_values(critic_params, carry.share_obs)
+            new_critic_rnn = carry.critic_rnn
+        return actions_stacked, tuple(acts), tuple(logps), value, new_rnn, new_critic_rnn
+
+    def collect_host(self, state: TrainState):
+        """Python-loop rollout over the host vec env (external simulators).
+
+        Produces the same stacked ``data`` dict as the jitted rollout scan, so
+        ``update_phase`` is shared verbatim."""
+        T, B, N = self.episode_length, self.n_rollout_threads, self.n_agents
+        carry = state.carry
+        rng = state.rng
+        rows = {k: [] for k in (
+            "obs", "share_obs", "masks", "active_masks", "avail", "value", "reward",
+            "next_masks", "next_bad_masks", "next_active", "critic_rnn",
+            "emitted_ret", "emitted_cnt", "emitted_won",
+        )}
+        acts_rows = [[] for _ in range(N)]
+        logp_rows = [[] for _ in range(N)]
+        arnn_rows = [[] for _ in range(N)]
+        for _ in range(T):
+            rng, k = jax.random.split(rng)
+            stacked, acts, logps, value, new_arnn, new_crnn = self._host_policy(
+                state.actors, state.critic.params, carry, k
+            )
+            res = self.vec.step(np.asarray(stacked))
+            dones = res["dones"]                       # (B, N) bool
+            done_env = dones.all(axis=1)               # (B,)
+            bad = np.array(
+                [
+                    1.0 if not info[0].get("bad_transition", False) else 0.0
+                    for info in res["infos"]
+                ],
+                np.float32,
+            )[:, None]
+            new_masks = np.ones((B, N, 1), np.float32)
+            new_masks[done_env] = 0.0
+            new_active = np.where(dones[..., None], 0.0, 1.0).astype(np.float32)
+            new_active[done_env] = 1.0
+            rew = res["rewards"][:, 0]                 # (B, 1)
+            ep_ret = np.asarray(carry.ep_ret) + res["rewards"][:, :, 0].mean(axis=1)
+            emitted = np.where(done_env, ep_ret, 0.0)
+            cnt = done_env.astype(np.float32)
+            rows["obs"].append(np.asarray(carry.obs))
+            rows["share_obs"].append(np.asarray(carry.share_obs))
+            rows["masks"].append(np.asarray(carry.masks))
+            rows["active_masks"].append(np.asarray(carry.active_masks))
+            rows["avail"].append(None if carry.avail is None else np.asarray(carry.avail))
+            rows["value"].append(np.asarray(value))
+            rows["reward"].append(rew)
+            rows["next_masks"].append(new_masks[:, 0])
+            rows["next_bad_masks"].append(bad)
+            rows["next_active"].append(new_active)
+            rows["critic_rnn"].append(np.asarray(carry.critic_rnn))
+            rows["emitted_ret"].append(emitted)
+            rows["emitted_cnt"].append(cnt)
+            rows["emitted_won"].append(np.zeros_like(cnt))
+            for i in range(N):
+                acts_rows[i].append(np.asarray(acts[i]))
+                logp_rows[i].append(np.asarray(logps[i]))
+                arnn_rows[i].append(np.asarray(carry.actor_rnn[i]))
+            # advance carry
+            reset_h = lambda h: np.where(done_env[:, None, None], 0.0, np.asarray(h))
+            carry = RolloutCarry(
+                env_state=carry.env_state,
+                obs=jnp.asarray(res["obs"]),
+                share_obs=jnp.asarray(res["share_obs"]),
+                masks=jnp.asarray(new_masks),
+                active_masks=jnp.asarray(new_active),
+                avail=None if res["available_actions"] is None else jnp.asarray(res["available_actions"]),
+                actor_rnn=tuple(jnp.asarray(reset_h(h)) for h in new_arnn),
+                critic_rnn=jnp.asarray(reset_h(new_crnn)),
+                ep_ret=jnp.asarray(np.where(done_env, 0.0, ep_ret)),
+                ep_len=carry.ep_len,
+            )
+        data = {
+            k: (None if (k == "avail" and rows[k][0] is None) else jnp.asarray(np.stack(rows[k])))
+            for k in rows
+        }
+        data["actions"] = tuple(jnp.asarray(np.stack(a)) for a in acts_rows)
+        data["logp"] = tuple(jnp.asarray(np.stack(l)) for l in logp_rows)
+        data["actor_rnn"] = tuple(jnp.asarray(np.stack(h)) for h in arnn_rows)
+        return carry, data, rng
+
+    def host_train_iteration(self, state: TrainState):
+        carry, data, rng = self.collect_host(state)
+        rng, k_order, k_update, k_critic = jax.random.split(rng, 4)
+        actors, critic, vn, metrics = self._update_jit(
+            state.actors, state.critic, state.value_norm, data,
+            first_masks0=state.carry.masks[:, 0],
+            last_share_obs=carry.share_obs,
+            last_masks0=carry.masks[:, 0],
+            last_critic_rnn=carry.critic_rnn,
+            k_order=k_order, k_update=k_update, k_critic=k_critic,
+        )
+        return TrainState(actors, critic, vn, carry, rng), metrics
+
+    def host_eval(self, state: TrainState, n_episodes: int = 10):
+        """Deterministic evaluation on freshly-constructed host envs."""
+        from harl_tpu.envs import make_env
+        from harl_tpu.envs.host import HostVecEnv
+
+        n_envs = min(n_episodes, 10)
+        vec = HostVecEnv(
+            [(lambda: make_env(self.args["env"], self.env_args)) for _ in range(n_envs)],
+            seed=50000,
+        )
+        obs, share, avail = vec.reset()
+        B = n_envs
+        H = self.hidden_sizes[-1]
+        carry = RolloutCarry(
+            env_state=jnp.zeros(()),
+            obs=jnp.asarray(obs), share_obs=jnp.asarray(share),
+            masks=jnp.ones((B, self.n_agents, 1)),
+            active_masks=jnp.ones((B, self.n_agents, 1)),
+            avail=None if avail is None else jnp.asarray(avail),
+            actor_rnn=tuple(jnp.zeros((B, self.recurrent_n, H)) for _ in range(self.n_agents)),
+            critic_rnn=jnp.zeros((B, self.recurrent_n, H)),
+            ep_ret=jnp.zeros((B,)), ep_len=jnp.zeros((B,)),
+        )
+        ep_ret = np.zeros(B)
+        alive = np.ones(B, bool)
+        returns = []
+        rng = jax.random.fold_in(state.rng, 99)
+        for _ in range(getattr(self.env, "episode_limit", 1000)):
+            rng, k = jax.random.split(rng)
+            stacked, *_ = self._host_policy(state.actors, state.critic.params, carry, k)
+            res = vec.step(np.asarray(stacked))
+            done_env = res["dones"].all(axis=1)
+            ep_ret += res["rewards"][:, :, 0].mean(axis=1) * alive
+            newly = done_env & alive
+            returns.extend(ep_ret[newly].tolist())
+            alive &= ~done_env
+            if not alive.any():
+                break
+            carry = carry._replace(
+                obs=jnp.asarray(res["obs"]), share_obs=jnp.asarray(res["share_obs"]),
+                avail=None if res["available_actions"] is None else jnp.asarray(res["available_actions"]),
+            )
+        vec.close()
+        returns.extend(ep_ret[alive].tolist())
+        return float(np.mean(returns))
 
     # ------------------------------------------------------------------ eval
     def eval_rollout(self, ts: TrainState, n_eval_envs: int):
@@ -494,7 +692,10 @@ class OnPolicyRunner:
         t_start = time.time()
         last_return = float("nan")
         for episode in range(1, self.episodes + 1):
-            state, metrics = self._train_iteration(state)
+            if self.host_mode:
+                state, metrics = self.host_train_iteration(state)
+            else:
+                state, metrics = self._train_iteration(state)
             if episode % log_interval == 0 or episode == self.episodes:
                 m = jax.device_get(metrics)
                 win_rate = None
@@ -528,7 +729,10 @@ class OnPolicyRunner:
                 if log_fn:
                     log_fn(rec)
             if (episode % eval_interval == 0 or episode == self.episodes) and use_eval:
-                eval_ret = float(self._eval_fn(state, n_eval))
+                if self.host_mode:
+                    eval_ret = self.host_eval(state, n_eval)
+                else:
+                    eval_ret = float(self._eval_fn(state, n_eval))
                 if logger is not None:
                     logger.log_eval(episode * steps_per_iter, eval_ret)
                 if history:

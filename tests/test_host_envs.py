@@ -1,0 +1,73 @@
+"""Host-env path tests: MAMuJoCo (MuJoCo C engine) + Gym wrapper + host runner."""
+import numpy as np
+import pytest
+
+from harl_tpu.envs.mamujoco.mamujoco import make_mamujoco
+from harl_tpu.envs.gym.gym_env import make_gym
+from harl_tpu.runners.on_policy import OnPolicyRunner
+from tests.test_happo import _cfg
+
+
+def test_mamujoco_interface():
+    env = make_mamujoco({"scenario": "HalfCheetah-v2", "agent_conf": "6x1", "episode_limit": 50})
+    assert env.n_agents == 6
+    assert all(sp.dim == 1 for sp in env.action_space)
+    obs, share, avail = env.reset()
+    assert obs.shape == (6, 17 + 6)  # state + one-hot id
+    assert share.shape == (17,)
+    # obs standardized per-vector
+    np.testing.assert_allclose(obs[0].mean(), 0.0, atol=1e-5)
+    np.testing.assert_allclose(obs[0].std(), 1.0, atol=1e-4)
+    acts = np.zeros((6, 1), np.float32)
+    obs2, share2, rew, dones, infos, _ = env.step(acts)
+    assert rew.shape == (6, 1)
+    assert np.all(rew == rew[0])  # team reward repeated
+    assert not dones.any()
+    env.close()
+
+
+def test_mamujoco_truncation_bad_transition():
+    env = make_mamujoco({"scenario": "HalfCheetah-v2", "agent_conf": "2x3", "episode_limit": 3})
+    assert env.n_agents == 2 and env.action_space[0].dim == 3
+    env.reset()
+    for _ in range(3):
+        obs, share, rew, dones, infos, _ = env.step(np.zeros((2, 3), np.float32))
+    assert dones.all()
+    assert infos[0]["bad_transition"] is True
+    env.close()
+
+
+def test_gym_wrapper():
+    env = make_gym({"scenario": "CartPole-v1"})
+    obs, share, avail = env.reset()
+    assert obs.shape == (1, 4) and avail.shape == (1, 2)
+    obs2, share2, rew, dones, infos, avail2 = env.step(np.array([[1]]))
+    assert rew.shape == (1, 1)
+    env.close()
+
+
+def test_happo_trains_on_mamujoco_host():
+    """Full host-mode training loop: jitted policy/update + host MuJoCo."""
+    cfg = _cfg()
+    cfg["train"].update(n_rollout_threads=2, num_env_steps=2 * 10 * 2, episode_length=10)
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "mamujoco", "exp_name": "t"},
+        cfg,
+        {"scenario": "HalfCheetah-v2", "agent_conf": "3x2", "episode_limit": 20},
+    )
+    assert runner.host_mode
+    state, history = runner.run(seed=1)
+    assert np.isfinite(history[-1]["mean_episode_return"])
+    assert np.isfinite(history[-1]["value_loss"])
+
+
+def test_gym_single_agent_training():
+    cfg = _cfg()
+    cfg["train"].update(n_rollout_threads=2, num_env_steps=2 * 10 * 2, episode_length=10)
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "gym", "exp_name": "t"},
+        cfg,
+        {"scenario": "CartPole-v1"},
+    )
+    state, history = runner.run(seed=1)
+    assert np.isfinite(history[-1]["mean_episode_return"])
