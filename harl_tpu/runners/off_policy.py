@@ -108,6 +108,7 @@ class OffPolicyRunner:
         self.fixed_order = al.get("fixed_order", False)
         self.use_policy_active_masks = al.get("use_policy_active_masks", True)
         self.auto_alpha = al.get("auto_alpha", False)
+        self.share_param = al.get("share_param", False)
 
         if env is None:
             from harl_tpu.envs import make_env
@@ -125,10 +126,18 @@ class OffPolicyRunner:
         cfg = {**al, **md, "use_proper_time_limits": self.use_proper_time_limits,
                "use_valuenorm": tr.get("use_valuenorm", False)}
         actor_cls = ACTOR_REGISTRY[self.algo]
-        self.actors = [
-            actor_cls(self.obs_dims[i], self.act_spaces[i], cfg)
-            for i in range(self.n_agents)
-        ]
+        if self.share_param:
+            assert all(d == self.obs_dims[0] for d in self.obs_dims) and all(
+                sp == self.act_spaces[0] for sp in self.act_spaces
+            ), "share_param requires homogeneous agents"
+            shared = actor_cls(self.obs_dims[0], self.act_spaces[0], cfg)
+            self.actors = [shared] * self.n_agents
+        else:
+            self.actors = [
+                actor_cls(self.obs_dims[i], self.act_spaces[i], cfg)
+                for i in range(self.n_agents)
+            ]
+        self._sidx = (lambda i: 0) if self.share_param else (lambda i: i)
         critic_cls = CRITIC_REGISTRY[self.algo]
         self.critic = critic_cls(self.share_obs_dim, self.act_spaces, cfg)
 
@@ -160,8 +169,9 @@ class OffPolicyRunner:
         env_state, ts = self.vec.reset(k_env)
         B, N = self.n_rollout_threads, self.n_agents
         actor_states = []
-        for actor, k in zip(self.actors, k_actors):
-            st = actor.init(k)
+        n_states = 1 if self.share_param else self.n_agents
+        for i in range(n_states):
+            st = self.actors[i].init(k_actors[i])
             if self.algo == "hasac" and self.auto_alpha:
                 la = jnp.zeros(())
                 st = st._replace(log_alpha=la, alpha_opt_state=self.alpha_tx.init(la))
@@ -209,12 +219,12 @@ class OffPolicyRunner:
             obs_i = carry.obs[:, i, : self.obs_dims[i]]
             avail_i = self._avail_i(carry.avail, i)
             if self.algo in ("haddpg", "hatd3", "maddpg", "matd3"):
-                a = actor.get_actions(actor_states[i].params, obs_i, k, add_noise=explore)
+                a = actor.get_actions(actor_states[self._sidx(i)].params, obs_i, k, add_noise=explore)
             elif self.algo == "hasac":
-                a = actor.get_actions(actor_states[i].params, obs_i, k,
+                a = actor.get_actions(actor_states[self._sidx(i)].params, obs_i, k,
                                       available_actions=avail_i, stochastic=explore)
             else:  # had3qn
-                a = actor.get_actions(actor_states[i].params, obs_i, k,
+                a = actor.get_actions(actor_states[self._sidx(i)].params, obs_i, k,
                                       epsilon_greedy=explore)
             acts.append(a)
         max_da = max(a.shape[-1] for a in acts)
@@ -343,7 +353,7 @@ class OffPolicyRunner:
                 next_acts, next_logps = [], []
                 for i, actor in enumerate(self.actors):
                     a, lp = actor.get_actions_with_logprobs(
-                        actors[i].params, sp.next_obs[i], jax.random.fold_in(k_next, i),
+                        actors[self._sidx(i)].params, sp.next_obs[i], jax.random.fold_in(k_next, i),
                         None if sp.next_available_actions is None else sp.next_available_actions[i],
                     )
                     next_acts.append(a)
@@ -362,14 +372,15 @@ class OffPolicyRunner:
                 )
             elif self.algo == "had3qn":
                 next_actions = tuple(
-                    actor.get_target_actions(actors[i].target_params, sp.next_obs[i])
+                    actor.get_target_actions(actors[self._sidx(i)].target_params, sp.next_obs[i])
                     for i, actor in enumerate(self.actors)
                 )
                 critic_state, critic_loss = self.critic.train(critic_state, sp, next_actions)
             else:
                 next_actions = [
                     actor.get_target_actions(
-                        actors[i].target_params, sp.next_obs[i], jax.random.fold_in(k_next, i)
+                        actors[self._sidx(i)].target_params, sp.next_obs[i],
+                        jax.random.fold_in(k_next, i),
                     )
                     for i, actor in enumerate(self.actors)
                 ]
@@ -412,9 +423,9 @@ class OffPolicyRunner:
         # soft updates (off_policy_ha_runner.py:236-239)
         actors = tuple(
             st._replace(
-                target_params=soft_update(st.target_params, st.params, self.actors[i].polyak)
+                target_params=soft_update(st.target_params, st.params, self.actors[0].polyak)
             )
-            for i, st in enumerate(actors)
+            for st in actors
         )
         critic_state = self.critic.soft_update_targets(critic_state)
         return actors, critic_state
@@ -423,14 +434,16 @@ class OffPolicyRunner:
         """HADDPG/HATD3 sequential updates (off_policy_ha_runner.py:206-235)."""
         N = self.n_agents
         init_actions = tuple(
-            self.actors[i].get_actions(actors[i].params, sp.obs[i]) for i in range(N)
+            self.actors[i].get_actions(actors[self._sidx(i)].params, sp.obs[i])
+            for i in range(N)
         )
 
         def make_branch(i):
             def branch(carry):
                 actors, actions = carry
                 actor = self.actors[i]
-                st = actors[i]
+                si = self._sidx(i)
+                st = actors[si]
 
                 def loss_fn(params):
                     a_i = actor.get_actions(params, sp.obs[i])
@@ -444,7 +457,7 @@ class OffPolicyRunner:
                 updates, new_opt = actor.tx.update(grads, st.opt_state, st.params)
                 new_params = optax.apply_updates(st.params, updates)
                 st = st._replace(params=new_params, opt_state=new_opt)
-                actors = tuple(st if j == i else actors[j] for j in range(N))
+                actors = tuple(st if j == si else actors[j] for j in range(len(actors)))
                 new_a = actor.get_actions(new_params, sp.obs[i])
                 actions = tuple(new_a if j == i else actions[j] for j in range(N))
                 return (actors, actions)
@@ -460,7 +473,7 @@ class OffPolicyRunner:
         new_actors = []
         for i in range(N):
             actor = self.actors[i]
-            st = actors[i]
+            st = actors[self._sidx(i)]
 
             def loss_fn(params, i=i):
                 a_i = actor.get_actions(params, sp.obs[i])
@@ -472,10 +485,12 @@ class OffPolicyRunner:
 
             grads = jax.grad(loss_fn)(st.params)
             updates, new_opt = actor.tx.update(grads, st.opt_state, st.params)
-            new_actors.append(
-                st._replace(params=optax.apply_updates(st.params, updates), opt_state=new_opt)
-            )
-        return tuple(new_actors)
+            new_st = st._replace(params=optax.apply_updates(st.params, updates), opt_state=new_opt)
+            if self.share_param:
+                actors = (new_st,)
+            else:
+                new_actors.append(new_st)
+        return actors if self.share_param else tuple(new_actors)
 
     def _hasac_update(self, actors, critic_state, sp, k_actor, k_order):
         """HASAC sequential updates + per-agent/critic alpha
@@ -486,7 +501,8 @@ class OffPolicyRunner:
         )
         init = [
             self.actors[i].get_actions_with_logprobs(
-                actors[i].params, sp.obs[i], jax.random.fold_in(k_actor, 100 + i), avail(i)
+                actors[self._sidx(i)].params, sp.obs[i],
+                jax.random.fold_in(k_actor, 100 + i), avail(i),
             )
             for i in range(N)
         ]
@@ -497,7 +513,8 @@ class OffPolicyRunner:
             def branch(carry):
                 actors, actions, logps = carry
                 actor = self.actors[i]
-                st = actors[i]
+                si = self._sidx(i)
+                st = actors[si]
                 alpha_i = self._alpha(st)
                 k_i = jax.random.fold_in(k_actor, i)
 
@@ -534,7 +551,7 @@ class OffPolicyRunner:
                         log_alpha=optax.apply_updates(st.log_alpha, au),
                         alpha_opt_state=new_aopt,
                     )
-                actors = tuple(st if j == i else actors[j] for j in range(N))
+                actors = tuple(st if j == si else actors[j] for j in range(len(actors)))
                 # re-sample the updated agent's action (off_policy_ha_runner.py:162-169)
                 new_a, new_lp = actor.get_actions_with_logprobs(
                     new_params, sp.obs[i], k_i, avail(i)
@@ -561,14 +578,16 @@ class OffPolicyRunner:
         N = self.n_agents
         all_values = self.critic.q_all(critic_state.params, sp.share_obs)
         init_actions = tuple(
-            self.actors[i].get_actions(actors[i].params, sp.obs[i]) for i in range(N)
+            self.actors[i].get_actions(actors[self._sidx(i)].params, sp.obs[i])
+            for i in range(N)
         )
 
         def make_branch(i):
             def branch(carry):
                 actors, actions = carry
                 actor = self.actors[i]
-                st = actors[i]
+                si = self._sidx(i)
+                st = actors[si]
                 joint = self.critic.indiv_to_joint(actions)
                 critic_values = jnp.take_along_axis(all_values, joint, axis=-1)
 
@@ -581,7 +600,7 @@ class OffPolicyRunner:
                 st = st._replace(
                     params=optax.apply_updates(st.params, updates), opt_state=new_opt
                 )
-                actors = tuple(st if j == i else actors[j] for j in range(N))
+                actors = tuple(st if j == si else actors[j] for j in range(len(actors)))
                 # update_actions(i): argmax over this agent's joint slice
                 joint_idx = self.critic.get_joint_idx(actions, i)
                 vals = jnp.take_along_axis(all_values, joint_idx, axis=-1)
@@ -623,12 +642,12 @@ class OffPolicyRunner:
                 if avail is not None and spaces.space_kind(self.act_spaces[i]) == "Discrete":
                     avail_i = avail[:, i, : self.act_spaces[i].n]
                 if self.algo in ("haddpg", "hatd3", "maddpg", "matd3"):
-                    a = actor.get_actions(state.actors[i].params, obs_i, k, add_noise=False)
+                    a = actor.get_actions(state.actors[self._sidx(i)].params, obs_i, k, add_noise=False)
                 elif self.algo == "hasac":
-                    a = actor.get_actions(state.actors[i].params, obs_i, k,
+                    a = actor.get_actions(state.actors[self._sidx(i)].params, obs_i, k,
                                           available_actions=avail_i, stochastic=False)
                 else:
-                    a = actor.get_actions(state.actors[i].params, obs_i, k,
+                    a = actor.get_actions(state.actors[self._sidx(i)].params, obs_i, k,
                                           epsilon_greedy=False)
                 acts.append(a)
             max_da = max(a.shape[-1] for a in acts)

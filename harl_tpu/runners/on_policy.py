@@ -141,8 +141,14 @@ class OnPolicyRunner:
             initialization_method=md.get("initialization_method", "orthogonal_"),
         )
         algo_cfg = {**al, **md}
+        if self.share_param:
+            # homogeneity check (on_policy_base_runner.py:107-113)
+            assert all(d == self.obs_dims[0] for d in self.obs_dims) and all(
+                sp == self.act_spaces[0] for sp in self.act_spaces
+            ), "share_param requires homogeneous agents"
+        self._sidx = (lambda i: 0) if self.share_param else (lambda i: i)
         self.actors = []
-        for i in range(self.n_agents):
+        for i in range(1 if self.share_param else self.n_agents):
             policy = StochasticPolicy(
                 action_space=self.act_spaces[i],
                 gain=md.get("gain", 0.01),
@@ -158,6 +164,8 @@ class OnPolicyRunner:
                 self.use_linear_lr_decay, self.episodes, actor_updates,
             )
             self.actors.append(actor_cls(policy, self.act_spaces[i], tx, algo_cfg))
+        if self.share_param:
+            self.actors = self.actors * self.n_agents
 
         critic_net = VNet(
             use_recurrent_policy=self.use_recurrent_policy,
@@ -197,7 +205,9 @@ class OnPolicyRunner:
             env_state, ts = self.vec.reset(k_env)
         B, N = self.n_rollout_threads, self.n_agents
         actor_states = []
-        for i, actor in enumerate(self.actors):
+        n_states = 1 if self.share_param else self.n_agents
+        for i in range(n_states):
+            actor = self.actors[i]
             obs_i = ts.obs[:, i, : self.obs_dims[i]]
             params = actor.init(k_actors[i], obs_i)
             actor_states.append(AgentTrainState(params, actor.tx.init(params)))
@@ -230,10 +240,10 @@ class OnPolicyRunner:
                 avail_i = carry.avail[:, i, : _space_n(self.act_spaces[i])]
             if self.use_recurrent_policy:
                 head, h = actor.policy.apply(
-                    actor_states[i].params, obs_i, carry.actor_rnn[i], carry.masks[:, i]
+                    actor_states[self._sidx(i)].params, obs_i, carry.actor_rnn[i], carry.masks[:, i]
                 )
             else:
-                head, h = actor.policy.apply(actor_states[i].params, obs_i), None
+                head, h = actor.policy.apply(actor_states[self._sidx(i)].params, obs_i), None
                 head = head[0]
             out = act_sample(
                 jax.random.fold_in(key, i), head, self.act_spaces[i], avail_i,
@@ -403,7 +413,8 @@ class OnPolicyRunner:
             def branch(carry):
                 astates, factor, key, stats = carry
                 key, k_up = jax.random.split(key)
-                st = astates[i]
+                si = self._sidx(i)
+                st = astates[si]
                 if self.factor_chain:
                     old_logp = self.actors[i].evaluate_logp(st.params, batches[i])
                 st, s = self.actors[i].update(
@@ -416,7 +427,7 @@ class OnPolicyRunner:
                     ).reshape(T, B, 1)
                     factor = factor * ratio
                 astates = tuple(
-                    st if j == i else astates[j] for j in range(N)
+                    st if j == si else astates[j] for j in range(len(astates))
                 )
                 stats = stats.at[i].set(s)
                 return (astates, factor, key, stats)
@@ -631,11 +642,11 @@ class OnPolicyRunner:
                     avail_i = avail[:, i, : _space_n(self.act_spaces[i])]
                 if self.use_recurrent_policy:
                     head, h = actor.policy.apply(
-                        ts.actors[i].params, obs_i, rnn[i],
+                        ts.actors[self._sidx(i)].params, obs_i, rnn[i],
                         alive[:, None],
                     )
                 else:
-                    head, _ = actor.policy.apply(ts.actors[i].params, obs_i)
+                    head, _ = actor.policy.apply(ts.actors[self._sidx(i)].params, obs_i)
                     h = rnn[i]
                 out = act_sample(k, head, self.act_spaces[i], avail_i, deterministic=True,
                                  std_x_coef=actor.std_x_coef, std_y_coef=actor.std_y_coef)

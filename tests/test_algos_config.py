@@ -100,3 +100,25 @@ def test_cli_parse_unknown():
 
     out = _parse_unknown(["--lr", "0.001", "--scenario", "simple_spread_v2", "--use_eval", "False"])
     assert out == {"lr": 0.001, "scenario": "simple_spread_v2", "use_eval": False}
+
+
+def test_share_param_happo():
+    cfg = _cfg()
+    cfg["algo"]["share_param"] = True
+    runner = _mk("happo", extra_cfg=cfg)
+    assert len(set(id(a) for a in runner.actors)) == 1  # one shared actor
+    state = runner.init_state(0)
+    assert len(state.actors) == 1
+    new_state, metrics = runner._train_iteration(state)
+    assert np.isfinite(float(metrics["value_loss"]))
+    p0 = jax.tree_util.tree_leaves(state.actors[0].params)[0]
+    p1 = jax.tree_util.tree_leaves(new_state.actors[0].params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_share_param_rejects_heterogeneous():
+    cfg = _cfg()
+    cfg["algo"]["share_param"] = True
+    with pytest.raises(AssertionError):
+        _mk("happo", extra_cfg=cfg,
+            env_args={"scenario": "simple_speaker_listener_v3", "continuous_actions": False, "max_cycles": 10})

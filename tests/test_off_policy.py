@@ -167,3 +167,17 @@ def test_discrete_q_critic_codecs():
     # joint idx: agent 0 free, agent 1 fixed
     ji = crit.get_joint_idx((a0, a1), 0)
     np.testing.assert_array_equal(np.asarray(ji), [[0, 1, 2, 3], [8, 9, 10, 11]])
+
+
+def test_share_param_off_policy():
+    algo_args, _ = _off_cfg("hatd3")
+    algo_args["algo"]["share_param"] = True
+    env_args = {"scenario": "simple_spread_v2", "continuous_actions": True, "max_cycles": 10}
+    runner = OffPolicyRunner({"algo": "hatd3", "env": "pettingzoo_mpe", "exp_name": "t"},
+                             algo_args, env_args)
+    state = runner.init_state(1)
+    assert len(state.actors) == 1
+    state = runner._warmup(state)
+    state, _ = runner._collect(state)
+    state, m = runner._train(state)
+    assert np.isfinite(float(m["critic_loss"]))
