@@ -671,8 +671,12 @@ class OffPolicyRunner:
         return jnp.mean(final_carry[3])
 
     # ------------------------------------------------------------------- run
-    def run(self, seed: int = 1, logger=None, save_dir=None, log_fn=None):
+    def run(self, seed: int = 1, logger=None, save_dir=None, log_fn=None, mesh=None):
         state = self.init_state(seed)
+        if mesh is not None:
+            from harl_tpu.parallel.mesh import shard_train_state
+
+            state = shard_train_state(state, mesh, self.n_rollout_threads)
         state = self._warmup(state)
         total_blocks = max(
             int(self.num_env_steps) // self.n_rollout_threads // self.train_interval, 1

@@ -685,13 +685,19 @@ class OnPolicyRunner:
         return getattr(self.env, "max_cycles", self.episode_length)
 
     # ------------------------------------------------------------------- run
-    def run(self, seed: int = 1, log_fn=None, logger=None, save_dir=None):
+    def run(self, seed: int = 1, log_fn=None, logger=None, save_dir=None, mesh=None):
         """Host training loop: jitted iterations + logging/eval/checkpointing.
 
         Mirrors OnPolicyBaseRunner.run (on_policy_base_runner.py:171-267) with
-        the entire per-episode body compiled into one device call.
+        the entire per-episode body compiled into one device call. Pass a
+        ``jax.sharding.Mesh`` to shard the env batch over devices (params
+        replicated, gradients psum'd by GSPMD).
         """
         state = self.init_state(seed)
+        if mesh is not None and not self.host_mode:
+            from harl_tpu.parallel.mesh import shard_train_state
+
+            state = shard_train_state(state, mesh, self.n_rollout_threads)
         steps_per_iter = self.episode_length * self.n_rollout_threads
         tr = self.algo_args["train"]
         ev = self.algo_args.get("eval", {})

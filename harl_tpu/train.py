@@ -79,8 +79,18 @@ def main(argv=None):
 
     runner = Runner(args, algo_args, env_args)
     logger = TrainLogger(args, algo_args, env_args, runner.n_agents, log_dir)
+    mesh = None
+    dev = algo_args.get("device", {}) or {}
+    n_devices = dev.get("n_devices")
+    import jax
+
+    if (n_devices and n_devices > 1) or (n_devices is None and len(jax.devices()) > 1):
+        from harl_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices)
+        print(f"data-parallel mesh over {len(mesh.devices.flat)} devices")
     try:
-        runner.run(seed=seed, logger=logger, save_dir=save_dir)
+        runner.run(seed=seed, logger=logger, save_dir=save_dir, mesh=mesh)
     finally:
         logger.close()
     print(f"results saved under {run_dir}")
