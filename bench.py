@@ -27,15 +27,18 @@ def main():
     runner = _make_runner(n_rollout_threads=n_threads, episode_length=episode_length)
     state = runner.init_state(0)
 
-    # warmup/compile
-    state, metrics = runner._train_iteration(state)
-    jax.block_until_ready(state)
+    # warmup: first compile + layout-change recompile both happen in the first
+    # two calls; a value FETCH (not block_until_ready, which does not reliably
+    # block on the remote-TPU platform) forces completion
+    for _ in range(3):
+        state, metrics = runner._train_iteration(state)
+    float(metrics["value_loss"])
 
-    iters = 5
+    iters = 20
     t0 = time.time()
     for _ in range(iters):
         state, metrics = runner._train_iteration(state)
-    jax.block_until_ready(state)
+    float(metrics["value_loss"])  # hard sync on the last iteration's output
     dt = time.time() - t0
 
     steps = iters * episode_length * n_threads

@@ -124,6 +124,10 @@ class OnPolicyRunner:
         self.act_spaces = env.action_space
         self.obs_dims = [sp.shape[0] for sp in self.obs_spaces]
         self.discrete = spaces.space_kind(self.act_spaces[0]) != "Box"
+        self.state_type = getattr(env, "state_type", env_args.get("state_type", "EP"))
+        if self.state_type == "FP":
+            assert not self.use_recurrent_policy, "recurrent FP critic: not yet supported"
+            assert not self.host_mode, "FP state requires a pure-JAX env"
 
         # ---- models / algos ----------------------------------------------
         from harl_tpu.algos import ON_POLICY_REGISTRY
@@ -211,13 +215,21 @@ class OnPolicyRunner:
             obs_i = ts.obs[:, i, : self.obs_dims[i]]
             params = actor.init(k_actors[i], obs_i)
             actor_states.append(AgentTrainState(params, actor.tx.init(params)))
-        cparams = self.critic.init(k_critic, ts.share_obs)
+        cparams = self.critic.init(
+            k_critic,
+            ts.agent_state.reshape(-1, ts.agent_state.shape[-1])
+            if self.state_type == "FP"
+            else ts.share_obs,
+        )
         critic_state = AgentTrainState(cparams, self.critic.tx.init(cparams))
         H = self.hidden_sizes[-1]
+        init_share = (
+            ts.agent_state if self.state_type == "FP" else ts.share_obs
+        )
         carry = RolloutCarry(
             env_state=env_state,
             obs=ts.obs,
-            share_obs=ts.share_obs,
+            share_obs=init_share,
             masks=jnp.ones((B, N, 1)),
             active_masks=jnp.ones((B, N, 1)),
             avail=ts.available_actions,
@@ -265,7 +277,13 @@ class OnPolicyRunner:
         actions_stacked, acts, logps, new_actor_rnn = self._policy_step(
             actor_states, carry, k_act
         )
-        if self.use_recurrent_policy:
+        B_, N_ = self.n_rollout_threads, self.n_agents
+        if self.state_type == "FP":
+            value = self.critic.get_values(
+                critic_params, carry.share_obs.reshape(B_ * N_, -1)
+            ).reshape(B_, N_, 1)
+            new_critic_rnn = carry.critic_rnn
+        elif self.use_recurrent_policy:
             value, new_critic_rnn = self.critic.get_values(
                 critic_params, carry.share_obs, carry.critic_rnn, carry.masks[:, 0]
             )
@@ -290,10 +308,11 @@ class OnPolicyRunner:
             emitted_won = jnp.where(done_env, tr.final.metrics["won"], 0.0)
         else:
             emitted_won = jnp.zeros_like(emitted_cnt)
+        new_share = ts.agent_state if self.state_type == "FP" else ts.share_obs
         new_carry = RolloutCarry(
             env_state=tr.state,
             obs=ts.obs,
-            share_obs=ts.share_obs,
+            share_obs=new_share,
             masks=new_masks,
             active_masks=new_active,
             avail=ts.available_actions,
@@ -313,9 +332,12 @@ class OnPolicyRunner:
             actions=tuple(acts),
             logp=tuple(logps),
             value=value,
-            reward=ts.rewards[:, 0],       # EP: agent-0 (team) reward, (B,1)
-            next_masks=new_masks[:, 0],    # (B,1) env-level
-            next_bad_masks=bad_mask,       # (B,1)
+            # EP: agent-0 (team) reward/masks (B,1); FP: per-agent (B,N,1)
+            reward=ts.rewards if self.state_type == "FP" else ts.rewards[:, 0],
+            next_masks=new_masks if self.state_type == "FP" else new_masks[:, 0],
+            next_bad_masks=jnp.broadcast_to(bad_mask[:, None], (B, N, 1))
+            if self.state_type == "FP"
+            else bad_mask,
             next_active=new_active,
             actor_rnn=carry.actor_rnn,     # hidden states at INPUT of step t
             critic_rnn=carry.critic_rnn,
@@ -360,7 +382,11 @@ class OnPolicyRunner:
             data["reward"].shape[0], data["reward"].shape[1], self.n_agents
         )
         # ---- returns ------------------------------------------------------
-        if self.use_recurrent_policy:
+        if self.state_type == "FP":
+            next_value = self.critic.get_values(
+                critic_state.params, last_share_obs.reshape(B * N, -1)
+            ).reshape(B, N, 1)
+        elif self.use_recurrent_policy:
             next_value, _ = self.critic.get_values(
                 critic_state.params, last_share_obs, last_critic_rnn, last_masks0
             )
@@ -371,8 +397,14 @@ class OnPolicyRunner:
             values_den = denormalize(vn, values)
         else:
             values_den = values
-        masks_tb = jnp.concatenate([first_masks0[None], data["next_masks"]], axis=0)
-        bad_tb = jnp.concatenate([jnp.ones((1, B, 1)), data["next_bad_masks"]], axis=0)
+        if self.state_type == "FP":
+            first_m = data["masks"][0]          # (B, N, 1)
+            ones_row = jnp.ones((1, B, N, 1))
+        else:
+            first_m = first_masks0
+            ones_row = jnp.ones((1, B, 1))
+        masks_tb = jnp.concatenate([first_m[None], data["next_masks"]], axis=0)
+        bad_tb = jnp.concatenate([ones_row, data["next_bad_masks"]], axis=0)
         if self.use_gae:
             returns = compute_gae(
                 data["reward"], values_den, masks_tb,
@@ -385,7 +417,15 @@ class OnPolicyRunner:
                 bad_tb if self.use_proper_time_limits else None,
                 values_den[-1], self.gamma,
             )
-        advantages = returns - values_den[:-1]  # (T,B,1)
+        advantages = returns - values_den[:-1]  # EP (T,B,1); FP (T,B,N,1)
+        if self.state_type == "FP":
+            # normalize once across agents with active masks
+            # (on_policy_ha_runner.py:36-45)
+            from harl_tpu.ops.returns import normalize_advantages_masked
+
+            advantages = normalize_advantages_masked(
+                advantages, data["active_masks"]
+            )
 
         # ---- per-agent batches -------------------------------------------
         batches = []
@@ -417,8 +457,13 @@ class OnPolicyRunner:
                 st = astates[si]
                 if self.factor_chain:
                     old_logp = self.actors[i].evaluate_logp(st.params, batches[i])
+                adv_i = (
+                    advantages[:, :, i]
+                    if self.state_type == "FP"
+                    else advantages
+                )
                 st, s = self.actors[i].update(
-                    st, batches[i], advantages, factor, k_up, "EP"
+                    st, batches[i], adv_i, factor, k_up, self.state_type
                 )
                 if self.factor_chain:
                     new_logp = self.actors[i].evaluate_logp(st.params, batches[i])
@@ -449,13 +494,23 @@ class OnPolicyRunner:
         actor_states, factor, _, actor_stats = upd_carry
 
         # ---- critic -------------------------------------------------------
-        critic_batch = CriticBatch(
-            share_obs=data["share_obs"],
-            rnn_states=data["critic_rnn"],
-            value_preds=data["value"],
-            returns=returns,
-            masks=data["masks"][:, :, 0],
-        )
+        if self.state_type == "FP":
+            T_ = data["reward"].shape[0]
+            critic_batch = CriticBatch(
+                share_obs=data["share_obs"].reshape(T_, B * N, -1),
+                rnn_states=data["critic_rnn"],
+                value_preds=data["value"].reshape(T_, B * N, 1),
+                returns=returns.reshape(T_, B * N, 1),
+                masks=data["masks"].reshape(T_, B * N, 1),
+            )
+        else:
+            critic_batch = CriticBatch(
+                share_obs=data["share_obs"],
+                rnn_states=data["critic_rnn"],
+                value_preds=data["value"],
+                returns=returns,
+                masks=data["masks"][:, :, 0],
+            )
         critic_state, vn, critic_stats = self.critic.update(
             critic_state, vn, critic_batch, k_critic
         )

@@ -104,3 +104,22 @@ def test_happo_trains_on_smaclite():
     state, history = runner.run(seed=1)
     assert np.isfinite(history[-1]["mean_episode_return"])
     assert "win_rate" in history[-1]
+
+
+def test_happo_fp_state_on_smaclite():
+    """FP (agent-specific state) critic path end-to-end."""
+    from harl_tpu.runners.on_policy import OnPolicyRunner
+    from tests.test_happo import _cfg
+
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "smaclite", "exp_name": "t"},
+        _cfg(),
+        {"map_name": "3m", "episode_limit": 10, "state_type": "FP"},
+    )
+    assert runner.state_type == "FP"
+    state = runner.init_state(1)
+    assert state.carry.share_obs.ndim == 3  # (B, N, ds_fp)
+    new_state, metrics = runner._train_iteration(state)
+    assert np.isfinite(float(metrics["value_loss"]))
+    _, history = runner.run(seed=1)
+    assert np.isfinite(history[-1]["mean_episode_return"])
