@@ -30,6 +30,10 @@ def make_env(env_name: str, env_args: dict):
             if k in env_args:
                 kwargs[k] = env_args[k]
         return make_smaclite(env_args.get("map_name", "5m_vs_5m"), **kwargs)
+    if env_name in ("mamujoco_jax", "manyagent_swimmer"):
+        from harl_tpu.envs.mamujoco_jax.swimmer import make_swimmer
+
+        return make_swimmer(env_args)
     if env_name == "mamujoco":
         from harl_tpu.envs.mamujoco.mamujoco import make_mamujoco
 
@@ -38,4 +42,18 @@ def make_env(env_name: str, env_args: dict):
         from harl_tpu.envs.gym.gym_env import make_gym
 
         return make_gym(env_args)
+    if env_name == "football":
+        from harl_tpu.envs.football.football_env import FootballEnv
+
+        return FootballEnv(env_args)
+    if env_name == "lag":
+        from harl_tpu.envs.lag.lag_env import LAGEnv
+
+        return LAGEnv(env_args)
+    if env_name == "dexhands":
+        raise NotImplementedError(
+            "Bi-DexterousHands is IsaacGym-based in the reference; the "
+            "TPU-native counterpart (pure-JAX ShadowHandOver-class task) is "
+            "planned — see ARCHITECTURE.md roadmap."
+        )
     raise ValueError(f"Unknown env {env_name!r}")

@@ -12,6 +12,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from harl_tpu.models.act import ACTLayer
+from harl_tpu.models.cnn import CNNBase
 from harl_tpu.models.mlp import MLPBase, PlainMLP
 from harl_tpu.models.rnn import GRUStack
 
@@ -33,16 +34,23 @@ class StochasticPolicy(nn.Module):
     recurrent_n: int = 1
     std_x_coef: float = 1.0
     std_y_coef: float = 0.5
+    image_input: bool = False  # 3D obs → CNNBase (stochastic_policy.py:34-36)
 
     @nn.compact
     def __call__(self, obs, rnn_states=None, masks=None, seq: bool = False):
-        x = MLPBase(
-            self.hidden_sizes,
-            self.activation_func,
-            self.use_feature_normalization,
-            self.initialization_method,
-            name="base",
-        )(obs)
+        if self.image_input:
+            x = CNNBase(
+                self.hidden_sizes, self.activation_func,
+                self.initialization_method, name="base",
+            )(obs)
+        else:
+            x = MLPBase(
+                self.hidden_sizes,
+                self.activation_func,
+                self.use_feature_normalization,
+                self.initialization_method,
+                name="base",
+            )(obs)
         if self.use_recurrent_policy:
             if rnn_states is None:  # e.g. during init
                 rnn_states = jnp.zeros(

@@ -9,6 +9,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from harl_tpu.models.cnn import CNNBase
 from harl_tpu.models.mlp import MLPBase, PlainMLP, get_init
 from harl_tpu.models.rnn import GRUStack
 
@@ -26,16 +27,23 @@ class VNet(nn.Module):
     initialization_method: str = "orthogonal_"
     use_recurrent_policy: bool = False
     recurrent_n: int = 1
+    image_input: bool = False  # 3D state → CNNBase (v_net.py:30-32)
 
     @nn.compact
     def __call__(self, cent_obs, rnn_states=None, masks=None, seq: bool = False):
-        x = MLPBase(
-            self.hidden_sizes,
-            self.activation_func,
-            self.use_feature_normalization,
-            self.initialization_method,
-            name="base",
-        )(cent_obs)
+        if self.image_input:
+            x = CNNBase(
+                self.hidden_sizes, self.activation_func,
+                self.initialization_method, name="base",
+            )(cent_obs)
+        else:
+            x = MLPBase(
+                self.hidden_sizes,
+                self.activation_func,
+                self.use_feature_normalization,
+                self.initialization_method,
+                name="base",
+            )(cent_obs)
         if self.use_recurrent_policy:
             if rnn_states is None:  # e.g. during init
                 rnn_states = jnp.zeros(

@@ -115,7 +115,20 @@ class OffPolicyRunner:
 
             env = make_env(args["env"], env_args)
         self.env = env
-        self.vec = VecEnv(env, self.n_rollout_threads)
+        self.host_mode = not getattr(env, "is_jax", True)
+        if self.host_mode:
+            from harl_tpu.envs import make_env
+            from harl_tpu.envs.host import HostVecEnv
+
+            self.vec = HostVecEnv(
+                [(lambda e=env: e)]
+                + [
+                    (lambda: make_env(args["env"], env_args))
+                    for _ in range(self.n_rollout_threads - 1)
+                ]
+            )
+        else:
+            self.vec = VecEnv(env, self.n_rollout_threads)
         self.n_agents = env.n_agents
         self.obs_spaces = env.observation_space
         self.act_spaces = env.action_space
@@ -157,16 +170,33 @@ class OffPolicyRunner:
                     sum(-0.98 * float(np.log(1.0 / int(n))) for n in sp.nvec)
                 )
 
-        self._collect = jax.jit(self.collect_block)
         self._train = jax.jit(self.train_block)
-        self._warmup = jax.jit(self.warmup_block)
-        self._eval_fn = jax.jit(self.eval_rollout, static_argnums=(1,))
+        if self.host_mode:
+            self._act_jit = jax.jit(self._env_actions, static_argnums=(3,))
+            from harl_tpu.buffers.off_policy import insert as _buf_insert
+
+            self._insert_jit = jax.jit(_buf_insert, donate_argnums=(0,))
+        else:
+            self._collect = jax.jit(self.collect_block)
+            self._warmup = jax.jit(self.warmup_block)
+            self._eval_fn = jax.jit(self.eval_rollout, static_argnums=(1,))
 
     # ------------------------------------------------------------------ init
     def init_state(self, seed: int) -> OffPolicyState:
         rng = jax.random.PRNGKey(seed)
         rng, k_env, k_critic, *k_actors = jax.random.split(rng, self.n_agents + 3)
-        env_state, ts = self.vec.reset(k_env)
+        if self.host_mode:
+            obs_np, share_np, avail_np = self.vec.reset()
+
+            class _HostTS:
+                obs = jnp.asarray(obs_np)
+                share_obs = jnp.asarray(share_np)
+                available_actions = None if avail_np is None else jnp.asarray(avail_np)
+
+            ts = _HostTS()
+            env_state = jnp.zeros(())
+        else:
+            env_state, ts = self.vec.reset(k_env)
         B, N = self.n_rollout_threads, self.n_agents
         actor_states = []
         n_states = 1 if self.share_param else self.n_agents
@@ -670,9 +700,150 @@ class OffPolicyRunner:
         )
         return jnp.mean(final_carry[3])
 
+    # ----------------------------------------------------- host-env support
+    def _host_steps(self, state: OffPolicyState, n_steps: int, explore: bool):
+        """Run n_steps on the host vec env; batch-insert step-major into the
+        device replay buffer (layout preserves the n-step thread stride)."""
+        B, N = self.n_rollout_threads, self.n_agents
+        carry = state.carry
+        rng = state.rng
+        rows = {k: [] for k in (
+            "share_obs", "rewards", "dones", "terms", "next_share_obs",
+        )}
+        per_agent = {k: [[] for _ in range(N)] for k in (
+            "obs", "next_obs", "actions", "valid", "avail", "next_avail",
+        )}
+        ep_ret = np.asarray(carry.ep_ret)
+        deaths = np.asarray(carry.agent_deaths)
+        emitted, counts = 0.0, 0.0
+        for _ in range(n_steps):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            if explore == "random":  # warmup (off_policy_base_runner.py:307-351)
+                stacked, acts = jax.jit(self._random_actions, static_argnums=(1,))(k1, B)
+            else:
+                stacked, acts = self._act_jit(state.actors, carry, k1, True)
+            res = self.vec.step(np.asarray(stacked))
+            dones = res["dones"]
+            done_env = dones.all(axis=1)
+            bad = np.array(
+                [bool(info[0].get("bad_transition", False)) for info in res["infos"]]
+            )
+            terms = (done_env & ~bad).astype(np.float32)[:, None]
+            valid = 1.0 - deaths
+            deaths = np.where(dones[..., None], 1.0, 0.0)
+            deaths[done_env] = 0.0
+            rows["share_obs"].append(np.asarray(carry.share_obs))
+            rows["rewards"].append(res["rewards"][:, 0])
+            rows["dones"].append(done_env.astype(np.float32)[:, None])
+            rows["terms"].append(terms)
+            rows["next_share_obs"].append(res["final_share_obs"])
+            obs_np = np.asarray(carry.obs)
+            avail_np = None if carry.avail is None else np.asarray(carry.avail)
+            for i in range(N):
+                per_agent["obs"][i].append(obs_np[:, i, : self.obs_dims[i]])
+                per_agent["next_obs"][i].append(res["final_obs"][:, i, : self.obs_dims[i]])
+                per_agent["actions"][i].append(np.asarray(acts[i], np.float32))
+                per_agent["valid"][i].append(valid[:, i])
+                if self.discrete and avail_np is not None:
+                    per_agent["avail"][i].append(avail_np[:, i, : self.act_spaces[i].n])
+                    per_agent["next_avail"][i].append(
+                        res["available_actions"][:, i, : self.act_spaces[i].n]
+                    )
+            rew_env = res["rewards"][:, :, 0].mean(axis=1)
+            ep_ret = ep_ret + rew_env
+            emitted += float(ep_ret[done_env].sum())
+            counts += float(done_env.sum())
+            ep_ret[done_env] = 0.0
+            carry = carry._replace(
+                obs=jnp.asarray(res["obs"]),
+                share_obs=jnp.asarray(res["share_obs"]),
+                avail=None
+                if res["available_actions"] is None
+                else jnp.asarray(res["available_actions"]),
+                agent_deaths=jnp.asarray(deaths),
+                ep_ret=jnp.asarray(ep_ret),
+            )
+        cat = lambda lst: jnp.asarray(np.concatenate(lst, axis=0))
+        batch = dict(
+            share_obs=cat(rows["share_obs"]),
+            obs=tuple(cat(per_agent["obs"][i]) for i in range(N)),
+            actions=tuple(cat(per_agent["actions"][i]) for i in range(N)),
+            rewards=cat(rows["rewards"]),
+            dones=cat(rows["dones"]),
+            valid_transitions=tuple(cat(per_agent["valid"][i]) for i in range(N)),
+            terms=cat(rows["terms"]),
+            next_share_obs=cat(rows["next_share_obs"]),
+            next_obs=tuple(cat(per_agent["next_obs"][i]) for i in range(N)),
+        )
+        if self.discrete and per_agent["avail"][0]:
+            batch["available_actions"] = tuple(
+                cat(per_agent["avail"][i]) for i in range(N)
+            )
+            batch["next_available_actions"] = tuple(
+                cat(per_agent["next_avail"][i]) for i in range(N)
+            )
+        buf = self._insert_jit(state.buffer, batch)
+        metrics = dict(episode_return_sum=jnp.asarray(emitted),
+                       episode_count=jnp.asarray(counts),
+                       mean_step_reward=jnp.asarray(0.0))
+        return state._replace(carry=carry, buffer=buf, rng=rng), metrics
+
+    def host_eval(self, state, n_episodes: int = 10):
+        from harl_tpu.envs import make_env
+        from harl_tpu.envs.host import HostVecEnv
+
+        n_envs = min(n_episodes, 10)
+        vec = HostVecEnv(
+            [(lambda: make_env(self.args["env"], self.env_args)) for _ in range(n_envs)],
+            seed=50000,
+        )
+        obs, share, avail = vec.reset()
+        carry = OffRolloutCarry(
+            env_state=jnp.zeros(()),
+            obs=jnp.asarray(obs), share_obs=jnp.asarray(share),
+            avail=None if avail is None else jnp.asarray(avail),
+            agent_deaths=jnp.zeros((n_envs, self.n_agents, 1)),
+            ep_ret=jnp.zeros((n_envs,)),
+        )
+        ep_ret = np.zeros(n_envs)
+        alive = np.ones(n_envs, bool)
+        returns = []
+        rng = jax.random.fold_in(state.rng, 99)
+        for _ in range(getattr(self.env, "episode_limit", 1000)):
+            rng, k = jax.random.split(rng)
+            stacked, _ = self._act_jit(state.actors, carry, k, False)
+            res = vec.step(np.asarray(stacked))
+            done_env = res["dones"].all(axis=1)
+            ep_ret += res["rewards"][:, :, 0].mean(axis=1) * alive
+            returns.extend(ep_ret[done_env & alive].tolist())
+            alive &= ~done_env
+            if not alive.any():
+                break
+            carry = carry._replace(
+                obs=jnp.asarray(res["obs"]), share_obs=jnp.asarray(res["share_obs"]),
+                avail=None if res["available_actions"] is None else jnp.asarray(res["available_actions"]),
+            )
+        vec.close()
+        returns.extend(ep_ret[alive].tolist())
+        return float(np.mean(returns)) if returns else float("nan")
+
     # ------------------------------------------------------------------- run
     def run(self, seed: int = 1, logger=None, save_dir=None, log_fn=None, mesh=None):
         state = self.init_state(seed)
+        if self.host_mode:
+            return self._run_host(seed, state, logger, save_dir, log_fn)
+        model_dir = self.algo_args["train"].get("model_dir")
+        if model_dir:
+            from harl_tpu.utils.checkpoint import latest_checkpoint, restore_state
+
+            path = latest_checkpoint(model_dir) or model_dir
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+                if hasattr(x, "shape") else x,
+                jax.device_get(state),
+            )
+            print(f"restoring train state from {path}")
+            state = restore_state(path, abstract)
         if mesh is not None:
             from harl_tpu.parallel.mesh import shard_train_state
 
@@ -705,6 +876,48 @@ class OffPolicyRunner:
                 )
                 if use_eval:
                     rec["eval_return"] = float(self._eval_fn(state, n_eval))
+                history.append(rec)
+                if logger is not None:
+                    logger.log_episode(rec)
+                if log_fn:
+                    log_fn(rec)
+                if save_dir is not None:
+                    from harl_tpu.utils.checkpoint import save_state
+
+                    save_state(save_dir, state, steps)
+        return state, history
+
+    def _run_host(self, seed, state, logger=None, save_dir=None, log_fn=None):
+        """Host-env training loop (external simulators, e.g. MAMuJoCo)."""
+        warm = max(self.warmup_steps // self.n_rollout_threads, 1)
+        state, _ = self._host_steps(state, warm, explore="random")
+        total_blocks = max(
+            int(self.num_env_steps) // self.n_rollout_threads // self.train_interval, 1
+        )
+        eval_interval = self.algo_args["train"].get("eval_interval", 10000)
+        blocks_per_eval = max(eval_interval // self.train_interval, 1)
+        use_eval = self.algo_args.get("eval", {}).get("use_eval", False)
+        n_eval = self.algo_args.get("eval", {}).get("n_eval_rollout_threads", 10)
+        history = []
+        t_start = time.time()
+        last_return = float("nan")
+        for block in range(1, total_blocks + 1):
+            state, cm = self._host_steps(state, self.train_interval, explore=True)
+            state, tm = self._train(state)
+            if block % blocks_per_eval == 0 or block == total_blocks:
+                m = jax.device_get({**cm, **tm})
+                if m["episode_count"] > 0:
+                    last_return = float(m["episode_return_sum"] / m["episode_count"])
+                steps = self.warmup_steps + block * self.train_interval * self.n_rollout_threads
+                rec = dict(
+                    steps=steps,
+                    mean_episode_return=last_return,
+                    critic_loss=float(m["critic_loss"]),
+                    fps=block * self.train_interval * self.n_rollout_threads
+                    / (time.time() - t_start),
+                )
+                if use_eval:
+                    rec["eval_return"] = self.host_eval(state, n_eval)
                 history.append(rec)
                 if logger is not None:
                     logger.log_episode(rec)

@@ -739,6 +739,19 @@ class OnPolicyRunner:
     def _eval_len(self):
         return getattr(self.env, "max_cycles", self.episode_length)
 
+    def restore(self, state, model_dir: str):
+        """Load the latest checkpoint under model_dir (on_policy_base_runner
+        restore, :742-763 — here the FULL train state resumes)."""
+        from harl_tpu.utils.checkpoint import latest_checkpoint, restore_state
+
+        path = latest_checkpoint(model_dir) or model_dir
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x,
+            jax.device_get(state),
+        )
+        print(f"restoring train state from {path}")
+        return restore_state(path, abstract)
+
     # ------------------------------------------------------------------- run
     def run(self, seed: int = 1, log_fn=None, logger=None, save_dir=None, mesh=None):
         """Host training loop: jitted iterations + logging/eval/checkpointing.
@@ -749,6 +762,9 @@ class OnPolicyRunner:
         replicated, gradients psum'd by GSPMD).
         """
         state = self.init_state(seed)
+        model_dir = self.algo_args["train"].get("model_dir")
+        if model_dir:
+            state = self.restore(state, model_dir)
         if mesh is not None and not self.host_mode:
             from harl_tpu.parallel.mesh import shard_train_state
 

@@ -71,3 +71,20 @@ def test_gym_single_agent_training():
     )
     state, history = runner.run(seed=1)
     assert np.isfinite(history[-1]["mean_episode_return"])
+
+
+def test_hatd3_trains_on_mamujoco_host():
+    """Off-policy host mode: HATD3 on real MuJoCo with device replay/updates."""
+    from harl_tpu.runners.off_policy import OffPolicyRunner
+    from tests.test_off_policy import _off_cfg
+
+    algo_args, _ = _off_cfg("hatd3")
+    algo_args["train"].update(n_rollout_threads=2, num_env_steps=2 * 40, warmup_steps=20)
+    runner = OffPolicyRunner(
+        {"algo": "hatd3", "env": "mamujoco", "exp_name": "t"},
+        algo_args,
+        {"scenario": "HalfCheetah-v2", "agent_conf": "3x2", "episode_limit": 25},
+    )
+    assert runner.host_mode
+    state, history = runner.run(seed=1)
+    assert np.isfinite(history[-1]["critic_loss"])

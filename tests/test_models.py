@@ -144,3 +144,24 @@ def test_squashed_gaussian_policy_heads():
     params = pol.init(jax.random.PRNGKey(0), jnp.ones((4, 8)))
     mu, log_std = pol.apply(params, jnp.ones((4, 8)))
     assert mu.shape == (4, 3) and log_std.shape == (4, 3)
+
+
+def test_cnn_base_policy_and_vnet():
+    """Pixel-observation path: CNNBase/PlainCNN (cnn.py, plain_cnn.py parity)."""
+    from harl_tpu.models.cnn import CNNBase, PlainCNN
+
+    sp = spaces.Discrete(4)
+    pol = StochasticPolicy(action_space=sp, hidden_sizes=(32, 32), image_input=True)
+    obs = jnp.ones((2, 8, 8, 3)) * 128.0
+    params = pol.init(jax.random.PRNGKey(0), obs)
+    head, _ = pol.apply(params, obs)
+    assert head[0].shape == (2, 4)
+
+    v = VNet(hidden_sizes=(32,), image_input=True)
+    vp = v.init(jax.random.PRNGKey(0), obs)
+    val, _ = v.apply(vp, obs)
+    assert val.shape == (2, 1)
+
+    pc = PlainCNN(out_dim=16)
+    pp = pc.init(jax.random.PRNGKey(0), obs)
+    assert pc.apply(pp, obs).shape == (2, 16)
