@@ -445,7 +445,75 @@ class OnPolicyRunner:
                 )
             )
 
-        # ---- sequential update (the HARL factor scheme) -------------------
+        # ---- MAPPO share_param: merged minibatches (mappo.py:189-227) ------
+        if self.share_param and not self.factor_chain:
+            merged = ActorBatch(
+                obs=jnp.concatenate([b.obs for b in batches], axis=1),
+                rnn_states=jnp.concatenate([b.rnn_states for b in batches], axis=1),
+                actions=jnp.concatenate([b.actions for b in batches], axis=1),
+                logp=jnp.concatenate([b.logp for b in batches], axis=1),
+                masks=jnp.concatenate([b.masks for b in batches], axis=1),
+                active_masks=jnp.concatenate([b.active_masks for b in batches], axis=1),
+                available_actions=None
+                if batches[0].available_actions is None
+                else jnp.concatenate([b.available_actions for b in batches], axis=1),
+            )
+            if self.state_type == "FP":
+                adv_m = jnp.concatenate(
+                    [advantages[:, :, i] for i in range(N)], axis=1
+                )
+            else:
+                adv_m = jnp.tile(advantages, (1, N, 1))
+            st, stats = self.actors[0].update(
+                actor_states[0], merged, adv_m, jnp.ones((T, B * N, 1)),
+                k_update, self.state_type,
+            )
+            actor_states = (st,)
+            actor_stats = jnp.tile(stats[None], (N, 1))
+        else:
+            actor_states, actor_stats = self._sequential_update(
+                actor_states, batches, advantages, T, B, N, k_update, k_order
+            )
+
+        # ---- critic -------------------------------------------------------
+
+        # ---- critic -------------------------------------------------------
+        if self.state_type == "FP":
+            T_ = data["reward"].shape[0]
+            critic_batch = CriticBatch(
+                share_obs=data["share_obs"].reshape(T_, B * N, -1),
+                rnn_states=data["critic_rnn"],
+                value_preds=data["value"].reshape(T_, B * N, 1),
+                returns=returns.reshape(T_, B * N, 1),
+                masks=data["masks"].reshape(T_, B * N, 1),
+            )
+        else:
+            critic_batch = CriticBatch(
+                share_obs=data["share_obs"],
+                rnn_states=data["critic_rnn"],
+                value_preds=data["value"],
+                returns=returns,
+                masks=data["masks"][:, :, 0],
+            )
+        critic_state, vn, critic_stats = self.critic.update(
+            critic_state, vn, critic_batch, k_critic
+        )
+
+        metrics = dict(
+            actor_stats=actor_stats,          # (N, [policy_loss, entropy, gnorm, ratio])
+            value_loss=critic_stats[0],
+            critic_grad_norm=critic_stats[1],
+            mean_step_reward=jnp.mean(data["reward"]),
+            episode_return_sum=jnp.sum(data["emitted_ret"]),
+            episode_count=jnp.sum(data["emitted_cnt"]),
+            episode_won_sum=jnp.sum(data["emitted_won"]),
+        )
+        return actor_states, critic_state, vn, metrics
+
+    def _sequential_update(self, actor_states, batches, advantages, T, B, N,
+                           k_update, k_order):
+        """The HARL sequential-update scheme with the factor as loop carry
+        (on_policy_ha_runner.py:47-124)."""
         factor = jnp.ones((T, B, 1))
         stats0 = jnp.zeros((N, 4))
 
@@ -491,40 +559,8 @@ class OnPolicyRunner:
                 return jax.lax.switch(perm[j], branches, c)
 
             upd_carry = jax.lax.fori_loop(0, N, body, upd_carry)
-        actor_states, factor, _, actor_stats = upd_carry
-
-        # ---- critic -------------------------------------------------------
-        if self.state_type == "FP":
-            T_ = data["reward"].shape[0]
-            critic_batch = CriticBatch(
-                share_obs=data["share_obs"].reshape(T_, B * N, -1),
-                rnn_states=data["critic_rnn"],
-                value_preds=data["value"].reshape(T_, B * N, 1),
-                returns=returns.reshape(T_, B * N, 1),
-                masks=data["masks"].reshape(T_, B * N, 1),
-            )
-        else:
-            critic_batch = CriticBatch(
-                share_obs=data["share_obs"],
-                rnn_states=data["critic_rnn"],
-                value_preds=data["value"],
-                returns=returns,
-                masks=data["masks"][:, :, 0],
-            )
-        critic_state, vn, critic_stats = self.critic.update(
-            critic_state, vn, critic_batch, k_critic
-        )
-
-        metrics = dict(
-            actor_stats=actor_stats,          # (N, [policy_loss, entropy, gnorm, ratio])
-            value_loss=critic_stats[0],
-            critic_grad_norm=critic_stats[1],
-            mean_step_reward=jnp.mean(data["reward"]),
-            episode_return_sum=jnp.sum(data["emitted_ret"]),
-            episode_count=jnp.sum(data["emitted_cnt"]),
-            episode_won_sum=jnp.sum(data["emitted_won"]),
-        )
-        return actor_states, critic_state, vn, metrics
+        actor_states, _, _, actor_stats = upd_carry
+        return actor_states, actor_stats
 
     # ----------------------------------------------------- host-env support
     def _host_policy_step(self, actor_states, critic_params, carry: RolloutCarry, key):
@@ -738,6 +774,104 @@ class OnPolicyRunner:
 
     def _eval_len(self):
         return getattr(self.env, "max_cycles", self.episode_length)
+
+    def render(self, state: TrainState, episodes: int = 10, save_path: str = None):
+        """Deterministic render rollouts (on_policy_base_runner.py:593-710).
+
+        Host envs call the simulator's own ``render()``; pure-JAX envs record
+        trajectories and save them as .npz for offline visualization (the
+        TPU-native analogue of SMAC's save-replay path, :706-710)."""
+        import numpy as np_
+
+        if self.host_mode:
+            from harl_tpu.envs import make_env
+
+            env = make_env(self.args["env"], self.env_args)
+            returns = []
+            for ep in range(episodes):
+                obs, share, avail = env.reset()
+                carry = RolloutCarry(
+                    env_state=jnp.zeros(()), obs=jnp.asarray(obs)[None],
+                    share_obs=jnp.asarray(share)[None],
+                    masks=jnp.ones((1, self.n_agents, 1)),
+                    active_masks=jnp.ones((1, self.n_agents, 1)),
+                    avail=None if avail is None else jnp.asarray(avail)[None],
+                    actor_rnn=tuple(
+                        jnp.zeros((1, self.recurrent_n, self.hidden_sizes[-1]))
+                        for _ in range(self.n_agents)
+                    ),
+                    critic_rnn=jnp.zeros((1, self.recurrent_n, self.hidden_sizes[-1])),
+                    ep_ret=jnp.zeros((1,)), ep_len=jnp.zeros((1,)),
+                )
+                total = 0.0
+                for t in range(getattr(self.env, "episode_limit", 1000)):
+                    stacked, *_ = self._host_policy(
+                        state.actors, state.critic.params, carry,
+                        jax.random.fold_in(state.rng, ep * 10000 + t),
+                    )
+                    o, sh, r, d, info, av = env.step(np_.asarray(stacked)[0])
+                    if hasattr(env, "render"):
+                        try:
+                            env.render()
+                        except Exception:
+                            pass
+                    total += float(r[0, 0])
+                    if d.all():
+                        break
+                    carry = carry._replace(
+                        obs=jnp.asarray(o)[None], share_obs=jnp.asarray(sh)[None],
+                        avail=None if av is None else jnp.asarray(av)[None],
+                    )
+                returns.append(total)
+                print(f"render episode {ep}: return {total:.2f}")
+            env.close()
+            return returns
+        # pure-JAX env: record one batch of episodes and dump trajectories
+        vec = VecEnv(self.env, episodes)
+        rng = jax.random.fold_in(state.rng, 4242)
+        env_state, ets = vec.reset(rng)
+
+        def step(carry, k):
+            env_state, obs, avail = carry
+            acts = []
+            for i, actor in enumerate(self.actors):
+                obs_i = obs[:, i, : self.obs_dims[i]]
+                avail_i = None
+                if avail is not None:
+                    avail_i = avail[:, i, : _space_n(self.act_spaces[i])]
+                head, _ = actor.policy.apply(
+                    state.actors[self._sidx(i)].params, obs_i
+                )
+                out = act_sample(k, head, self.act_spaces[i], avail_i,
+                                 deterministic=True,
+                                 std_x_coef=actor.std_x_coef,
+                                 std_y_coef=actor.std_y_coef)
+                acts.append(out.actions)
+            max_da = max(a.shape[-1] for a in acts)
+            stacked = jnp.stack(
+                [jnp.pad(a, ((0, 0), (0, max_da - a.shape[-1]))) for a in acts],
+                axis=1,
+            )
+            if self.discrete:
+                stacked = stacked.astype(jnp.int32)
+            tr = vec.step(env_state, stacked, k)
+            return (tr.state, tr.ts.obs, tr.ts.available_actions), (
+                tr.ts.obs, stacked, tr.ts.rewards[:, 0, 0]
+            )
+
+        T = self._eval_len()
+        _, (obs_traj, act_traj, rew_traj) = jax.lax.scan(
+            step, (env_state, ets.obs, ets.available_actions),
+            jax.random.split(rng, T),
+        )
+        if save_path:
+            np_.savez(
+                save_path,
+                obs=np_.asarray(obs_traj), actions=np_.asarray(act_traj),
+                rewards=np_.asarray(rew_traj),
+            )
+            print(f"saved render trajectories to {save_path}")
+        return [float(r) for r in np_.asarray(rew_traj).sum(axis=0)]
 
     def restore(self, state, model_dir: str):
         """Load the latest checkpoint under model_dir (on_policy_base_runner

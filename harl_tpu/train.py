@@ -90,7 +90,16 @@ def main(argv=None):
         mesh = make_mesh(n_devices)
         print(f"data-parallel mesh over {len(mesh.devices.flat)} devices")
     try:
-        runner.run(seed=seed, logger=logger, save_dir=save_dir, mesh=mesh)
+        if (algo_args.get("render", {}) or {}).get("use_render", False):
+            state = runner.init_state(seed)
+            model_dir = algo_args["train"].get("model_dir")
+            if model_dir and hasattr(runner, "restore"):
+                state = runner.restore(state, model_dir)
+            episodes = algo_args["render"].get("render_episodes", 10)
+            returns = runner.render(state, episodes, save_path=f"{run_dir}/render.npz")
+            print("render returns:", [round(r, 2) for r in returns])
+        else:
+            runner.run(seed=seed, logger=logger, save_dir=save_dir, mesh=mesh)
     finally:
         logger.close()
     print(f"results saved under {run_dir}")

@@ -122,3 +122,16 @@ def test_share_param_rejects_heterogeneous():
     with pytest.raises(AssertionError):
         _mk("happo", extra_cfg=cfg,
             env_args={"scenario": "simple_speaker_listener_v3", "continuous_actions": False, "max_cycles": 10})
+
+
+def test_mappo_share_param_merged_batch():
+    cfg = _cfg()
+    cfg["algo"]["share_param"] = True
+    runner = _mk("mappo", extra_cfg=cfg)
+    state = runner.init_state(0)
+    assert len(state.actors) == 1
+    new_state, metrics = runner._train_iteration(state)
+    assert np.isfinite(float(metrics["value_loss"]))
+    p0 = jax.tree_util.tree_leaves(state.actors[0].params)[0]
+    p1 = jax.tree_util.tree_leaves(new_state.actors[0].params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
