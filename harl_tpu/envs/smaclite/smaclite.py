@@ -35,9 +35,15 @@ import jax.numpy as jnp
 from harl_tpu.envs.core import TimeStep
 from harl_tpu.utils import spaces
 
-# marine-like stats
-UNIT_HEALTH = 45.0
+# unit-type tables: marine-, marauder-, stalker-like (SMACv2 capability
+# randomization analogue — unit types drawn per episode when
+# ``randomize_types`` is on, smacv2_env.py / capability config)
+N_TYPES = 3
+TYPE_HEALTH = jnp.array([45.0, 125.0, 80.0])
+TYPE_DAMAGE = jnp.array([6.0, 10.0, 13.0])
+UNIT_HEALTH = 45.0    # marine default (fixed-type maps)
 UNIT_DAMAGE = 6.0
+MAX_HEALTH = 125.0
 SHOOT_RANGE = 6.0
 SIGHT_RANGE = 9.0
 MOVE_AMOUNT = 2.0
@@ -55,6 +61,8 @@ class SMACLiteState(NamedTuple):
     ally_health: jnp.ndarray   # (A,)
     enemy_pos: jnp.ndarray     # (E, 2)
     enemy_health: jnp.ndarray  # (E,)
+    ally_type: jnp.ndarray     # (A,) int32 unit-type index
+    enemy_type: jnp.ndarray    # (E,) int32
     t: jnp.ndarray             # () int32
     battle_over: jnp.ndarray   # () bool (set the step the battle ends)
 
@@ -66,6 +74,7 @@ class SMACLite:
     episode_limit: int = 100
     state_type: str = "EP"     # EP | FP (selects share/agent state exposure)
     reward_scale: bool = True
+    randomize_types: bool = False  # SMACv2-style per-episode unit types
 
     # ------------------------------------------------------------- metadata
     @property
@@ -77,14 +86,19 @@ class SMACLite:
         return N_MOVE_ACTIONS + self.n_enemies
 
     @property
+    def unit_feat(self) -> int:
+        # [avail/visible, dist, dx, dy, health] (+ type one-hot when random)
+        return 5 + (N_TYPES if self.randomize_types else 0)
+
+    @property
     def obs_dim(self) -> int:
-        # move(4) + enemies(E*5) + allies((A-1)*5) + own(1 health)
-        return 4 + self.n_enemies * 5 + (self.n_allies - 1) * 5 + 1
+        own = 1 + (N_TYPES if self.randomize_types else 0)
+        return 4 + self.n_enemies * self.unit_feat + (self.n_allies - 1) * self.unit_feat + own
 
     @property
     def state_dim(self) -> int:
-        # allies: health, x, y per unit; enemies: health, x, y
-        return self.n_allies * 3 + self.n_enemies * 3
+        per_unit = 3 + (N_TYPES if self.randomize_types else 0)
+        return self.n_allies * per_unit + self.n_enemies * per_unit
 
     @property
     def fp_state_dim(self) -> int:
@@ -105,13 +119,12 @@ class SMACLite:
 
     @property
     def max_reward(self) -> float:
-        return (
-            self.n_enemies * (REWARD_DEATH + UNIT_HEALTH) + REWARD_WIN
-        )
+        h = MAX_HEALTH if self.randomize_types else UNIT_HEALTH
+        return self.n_enemies * (REWARD_DEATH + h) + REWARD_WIN
 
     # -------------------------------------------------------------- dynamics
     def reset(self, key) -> Tuple[SMACLiteState, TimeStep]:
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         A, E = self.n_allies, self.n_enemies
         # two opposing clusters with jitter (SMAC-style spawn)
         ally_pos = jnp.stack(
@@ -120,11 +133,19 @@ class SMACLite:
         enemy_pos = jnp.stack(
             [jnp.full((E,), ARENA / 2), jnp.linspace(-E, E, E)], axis=1
         ) + jax.random.uniform(k2, (E, 2), minval=-1.0, maxval=1.0)
+        if self.randomize_types:
+            ally_type = jax.random.randint(k3, (A,), 0, N_TYPES)
+            enemy_type = jax.random.randint(k4, (E,), 0, N_TYPES)
+        else:
+            ally_type = jnp.zeros((A,), jnp.int32)
+            enemy_type = jnp.zeros((E,), jnp.int32)
         state = SMACLiteState(
             ally_pos=ally_pos,
-            ally_health=jnp.full((A,), UNIT_HEALTH),
+            ally_health=TYPE_HEALTH[ally_type],
             enemy_pos=enemy_pos,
-            enemy_health=jnp.full((E,), UNIT_HEALTH),
+            enemy_health=TYPE_HEALTH[enemy_type],
+            ally_type=ally_type,
+            enemy_type=enemy_type,
             t=jnp.zeros((), jnp.int32),
             battle_over=jnp.zeros((), bool),
         )
@@ -159,7 +180,7 @@ class SMACLite:
             & (jnp.take_along_axis(dist_ae, tgt[:, None], axis=1)[:, 0] <= SHOOT_RANGE)
         )
         dmg_to_enemy = jnp.zeros((E,)).at[tgt].add(
-            jnp.where(attack_ok, UNIT_DAMAGE, 0.0)
+            jnp.where(attack_ok, TYPE_DAMAGE[state.ally_type], 0.0)
         )
 
         # --- enemy AI: move toward / attack closest living ally ------------
@@ -177,7 +198,7 @@ class SMACLite:
             e_moves[:, None], to_ally / norm * MOVE_AMOUNT, 0.0
         )
         dmg_to_ally = jnp.zeros((A,)).at[closest].add(
-            jnp.where(e_attacks, UNIT_DAMAGE, 0.0)
+            jnp.where(e_attacks, TYPE_DAMAGE[state.enemy_type], 0.0)
         )
 
         # --- apply damage --------------------------------------------------
@@ -205,6 +226,8 @@ class SMACLite:
             ally_health=new_ally_health,
             enemy_pos=new_enemy_pos,
             enemy_health=new_enemy_health,
+            ally_type=state.ally_type,
+            enemy_type=state.enemy_type,
             t=new_t,
             battle_over=done,
         )
@@ -223,51 +246,62 @@ class SMACLite:
         dist_e = jnp.linalg.norm(delta_e, axis=-1)
         visible_e = (dist_e <= SIGHT_RANGE) & enemy_alive[None, :] & ally_alive[:, None]
         shootable = (dist_e <= SHOOT_RANGE) & enemy_alive[None, :] & ally_alive[:, None]
-        ef = jnp.stack(
-            [
-                shootable.astype(jnp.float32),
-                dist_e / SIGHT_RANGE,
-                delta_e[..., 0] / SIGHT_RANGE,
-                delta_e[..., 1] / SIGHT_RANGE,
-                jnp.broadcast_to(state.enemy_health[None, :] / UNIT_HEALTH, dist_e.shape),
-            ],
-            axis=-1,
-        )  # (A, E, 5)
-        ef = jnp.where(visible_e[..., None], ef, 0.0).reshape(A, E * 5)
+        e_maxh = TYPE_HEALTH[state.enemy_type]
+        ef_parts = [
+            shootable.astype(jnp.float32),
+            dist_e / SIGHT_RANGE,
+            delta_e[..., 0] / SIGHT_RANGE,
+            delta_e[..., 1] / SIGHT_RANGE,
+            jnp.broadcast_to((state.enemy_health / e_maxh)[None, :], dist_e.shape),
+        ]
+        ef = jnp.stack(ef_parts, axis=-1)  # (A, E, 5)
+        if self.randomize_types:
+            e_oh = jnp.broadcast_to(
+                jax.nn.one_hot(state.enemy_type, N_TYPES)[None], (A, E, N_TYPES)
+            )
+            ef = jnp.concatenate([ef, e_oh], axis=-1)
+        ef = jnp.where(visible_e[..., None], ef, 0.0).reshape(A, E * self.unit_feat)
         # ally feats (excluding self)
         delta_a = pos[None, :, :] - pos[:, None, :]
         dist_a = jnp.linalg.norm(delta_a, axis=-1)
         visible_a = (dist_a <= SIGHT_RANGE) & ally_alive[None, :] & ally_alive[:, None]
-        af = jnp.stack(
-            [
-                visible_a.astype(jnp.float32),
-                dist_a / SIGHT_RANGE,
-                delta_a[..., 0] / SIGHT_RANGE,
-                delta_a[..., 1] / SIGHT_RANGE,
-                jnp.broadcast_to(state.ally_health[None, :] / UNIT_HEALTH, dist_a.shape),
-            ],
-            axis=-1,
-        )  # (A, A, 5)
+        a_maxh = TYPE_HEALTH[state.ally_type]
+        af_parts = [
+            visible_a.astype(jnp.float32),
+            dist_a / SIGHT_RANGE,
+            delta_a[..., 0] / SIGHT_RANGE,
+            delta_a[..., 1] / SIGHT_RANGE,
+            jnp.broadcast_to((state.ally_health / a_maxh)[None, :], dist_a.shape),
+        ]
+        af = jnp.stack(af_parts, axis=-1)  # (A, A, 5)
+        if self.randomize_types:
+            a_oh = jnp.broadcast_to(
+                jax.nn.one_hot(state.ally_type, N_TYPES)[None], (A, A, N_TYPES)
+            )
+            af = jnp.concatenate([af, a_oh], axis=-1)
         af = jnp.where(visible_a[..., None], af, 0.0)
-        af = _drop_diag(af)  # remove each agent's self row → (A, (A−1)·5)
-        own = (state.ally_health / UNIT_HEALTH)[:, None]
+        af = _drop_diag(af)  # remove each agent's self row → (A, (A−1)·uf)
+        own = (state.ally_health / a_maxh)[:, None]
+        if self.randomize_types:
+            own = jnp.concatenate(
+                [own, jax.nn.one_hot(state.ally_type, N_TYPES)], axis=-1
+            )
         return jnp.concatenate([move_feats, ef, af, own], axis=-1)
 
     def _state(self, state: SMACLiteState) -> jnp.ndarray:
-        allies = jnp.concatenate(
-            [
-                (state.ally_health / UNIT_HEALTH)[:, None],
-                state.ally_pos / ARENA,
-            ],
-            axis=-1,
-        ).reshape(-1)
-        enemies = jnp.concatenate(
-            [
-                (state.enemy_health / UNIT_HEALTH)[:, None],
-                state.enemy_pos / ARENA,
-            ],
-            axis=-1,
-        ).reshape(-1)
+        a_parts = [
+            (state.ally_health / TYPE_HEALTH[state.ally_type])[:, None],
+            state.ally_pos / ARENA,
+        ]
+        e_parts = [
+            (state.enemy_health / TYPE_HEALTH[state.enemy_type])[:, None],
+            state.enemy_pos / ARENA,
+        ]
+        if self.randomize_types:
+            a_parts.append(jax.nn.one_hot(state.ally_type, N_TYPES))
+            e_parts.append(jax.nn.one_hot(state.enemy_type, N_TYPES))
+        allies = jnp.concatenate(a_parts, axis=-1).reshape(-1)
+        enemies = jnp.concatenate(e_parts, axis=-1).reshape(-1)
         return jnp.concatenate([allies, enemies])
 
     def _agent_state(self, state: SMACLiteState, ep_state) -> jnp.ndarray:
@@ -326,7 +360,16 @@ def _drop_diag(af: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_smaclite(map_name: str = "5m_vs_5m", **kwargs) -> SMACLite:
-    """Map names like '3m', '5m_vs_5m', '8m_vs_9m' set army sizes."""
+    """Map names like '3m', '5m_vs_5m', '8m_vs_9m' set army sizes.
+
+    SMACv2-style names ('protoss_5_vs_5', 'terran_10_vs_10', …) switch on
+    per-episode unit-type randomization (the capability-config analogue)."""
+    if any(map_name.startswith(race) for race in ("protoss", "terran", "zerg")):
+        parts = map_name.split("_")
+        n_allies = int(parts[1])
+        n_enemies = int(parts[3]) if len(parts) > 3 else n_allies
+        kwargs.setdefault("randomize_types", True)
+        return SMACLite(n_allies=n_allies, n_enemies=n_enemies, **kwargs)
     name = map_name.replace("m", "").split("_vs_")
     if len(name) == 2:
         n_allies, n_enemies = int(name[0]), int(name[1])

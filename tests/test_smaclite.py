@@ -123,3 +123,31 @@ def test_happo_fp_state_on_smaclite():
     assert np.isfinite(float(metrics["value_loss"]))
     _, history = runner.run(seed=1)
     assert np.isfinite(history[-1]["mean_episode_return"])
+
+
+def test_smacv2_style_type_randomization():
+    """SMACv2 capability-config analogue: per-episode random unit types."""
+    env = make_smaclite("protoss_5_vs_5", episode_limit=20)
+    assert env.randomize_types
+    s1, ts1 = env.reset(jax.random.PRNGKey(0))
+    s2, ts2 = env.reset(jax.random.PRNGKey(1))
+    # different episodes draw different compositions (w.h.p.)
+    assert not np.array_equal(np.asarray(s1.ally_type), np.asarray(s2.ally_type))
+    # healths match type table
+    from harl_tpu.envs.smaclite.smaclite import TYPE_HEALTH
+    np.testing.assert_allclose(
+        np.asarray(s1.ally_health), np.asarray(TYPE_HEALTH)[np.asarray(s1.ally_type)]
+    )
+    assert ts1.obs.shape == (5, env.obs_dim)
+    assert ts1.share_obs.shape == (env.state_dim,)
+    # trains end-to-end
+    from harl_tpu.runners.on_policy import OnPolicyRunner
+    from tests.test_happo import _cfg
+
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "smacv2", "exp_name": "t"},
+        _cfg(),
+        {"map_name": "protoss_3_vs_3", "episode_limit": 10},
+    )
+    _, history = runner.run(seed=1)
+    assert np.isfinite(history[-1]["mean_episode_return"])
