@@ -77,6 +77,10 @@ class ContinuousQCritic:
         self.alpha = cfg.get("alpha", 0.2)
         self.alpha_lr = cfg.get("alpha_lr", 3e-4)
         self.use_valuenorm = cfg.get("use_valuenorm", False) and self.soft
+        self.use_policy_active_masks = cfg.get("use_policy_active_masks", True)
+        # FP state: env-level sample fields are (N·B, ·); joint actions tiled
+        # (soft_twin_continuous_q_critic.py:128-147)
+        self.fp_agents = cfg.get("_fp_agents", 1)
         self.net = ContinuousQNet(
             hidden_sizes=tuple(cfg["hidden_sizes"]),
             activation_func=cfg.get("activation_func", "relu"),
@@ -128,6 +132,11 @@ class ContinuousQCritic:
         alpha: Optional[jnp.ndarray] = None,
     ) -> QCriticState:
         joint_actions = encode_joint_actions(sample.actions, self.act_spaces)
+        if self.fp_agents > 1:
+            joint_actions = jnp.tile(joint_actions, (self.fp_agents, 1))
+            next_joint_actions = jnp.tile(next_joint_actions, (self.fp_agents, 1))
+            if next_logp is not None:
+                next_logp = jnp.tile(next_logp, (self.fp_agents, 1))
         next_q = self._target_q(state, sample.next_share_obs, next_joint_actions)
         not_end = 1.0 - (sample.terms if self.use_proper_time_limits else sample.dones)
         vn = state.value_norm
@@ -145,15 +154,21 @@ class ContinuousQCritic:
             q_targets = sample.rewards + sample.gamma * next_q * not_end
         q_targets = jax.lax.stop_gradient(q_targets)
 
+        if self.fp_agents > 1 and self.soft and self.use_policy_active_masks:
+            valid = jnp.concatenate(sample.valid_transitions, axis=0)  # (N·B, 1)
+        else:
+            valid = None
+
         def loss_fn(params):
             loss = 0.0
             for p in params:
                 q = self.net.apply(p, sample.share_obs, joint_actions)
                 err = q - q_targets
-                if self.use_huber_loss:
-                    loss = loss + jnp.mean(huber_loss(err, self.huber_delta))
+                e = huber_loss(err, self.huber_delta) if self.use_huber_loss else err ** 2
+                if valid is not None:  # FP valid-transition masking (:175-237)
+                    loss = loss + jnp.sum(e * valid) / jnp.maximum(jnp.sum(valid), 1e-9)
                 else:
-                    loss = loss + jnp.mean(err ** 2)
+                    loss = loss + jnp.mean(e)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -186,3 +186,98 @@ def sample(
         else tuple(take(a, final) for a in buf.next_available_actions),
         gamma=sp_gamma,
     )
+
+
+# ---------------------------------------------------------------------------
+# FP (agent-specific state) variant — off_policy_buffer_fp.py
+# ---------------------------------------------------------------------------
+
+def init_buffer_fp(
+    buffer_size: int,
+    n_agents: int,
+    share_obs_dim: int,
+    obs_dims,
+    act_dims,
+    avail_dims=None,
+) -> ReplayBuffer:
+    """Per-agent state/reward/done/term arrays: env-level fields get an agent
+    axis (S, N, ·) (off_policy_buffer_fp.py)."""
+    z = lambda *shape: jnp.zeros(shape, jnp.float32)
+    base = init_buffer(buffer_size, share_obs_dim, obs_dims, act_dims, avail_dims)
+    return base._replace(
+        share_obs=z(buffer_size, n_agents, share_obs_dim),
+        next_share_obs=z(buffer_size, n_agents, share_obs_dim),
+        rewards=z(buffer_size, n_agents, 1),
+        dones=z(buffer_size, n_agents, 1),
+        terms=z(buffer_size, n_agents, 1),
+    )
+
+
+def sample_fp(
+    buf: ReplayBuffer,
+    key,
+    batch_size: int,
+    n_step: int,
+    gamma: float,
+    n_threads: int,
+) -> Sample:
+    """FP sampling: per-agent end flags drive per-agent n-step walks
+    (off_policy_buffer_fp.py:52-148). Env-level outputs are (N·batch, ·)
+    agent-major concatenations."""
+    S, N = buf.dones.shape[0], buf.dones.shape[1]
+    cur = jnp.maximum(buf.cur_size, 1)
+    # per-agent end flags + unfinished heads (off_policy_buffer_fp.py:157-165)
+    flag = buf.dones[..., 0] > 0  # (S, N)
+    unfinished = (buf.idx - jnp.arange(n_threads) - 1 + cur) % cur
+    end_flag = flag.at[unfinished, :].set(True).astype(jnp.int32)
+
+    start = jax.random.randint(key, (batch_size,), 0, cur)
+
+    def agent_walk(agent_end_flag):
+        def walk(idx, _):
+            nxt = (idx + (1 - agent_end_flag[idx]) * n_threads) % S
+            return nxt, idx
+
+        _, indices = jax.lax.scan(walk, start, None, length=n_step)
+        return indices  # (n_step, batch)
+
+    indices = jax.vmap(agent_walk, in_axes=1, out_axes=0)(end_flag)  # (N, n_step, batch)
+    final = indices[:, -1, :]  # (N, batch)
+
+    rew = jnp.zeros((N, batch_size, 1))
+    gammas = jnp.full((N, batch_size), n_step)
+    for n in range(n_step - 1, -1, -1):
+        now = indices[:, n, :]                                   # (N, batch)
+        ef = jax.vmap(lambda idx, a: end_flag[idx, a])(now, jnp.arange(N)) > 0
+        gammas = jnp.where(ef, n + 1, gammas)
+        rew = jnp.where(ef[..., None], 0.0, rew)
+        r_now = jax.vmap(lambda idx, a: buf.rewards[idx, a])(now, jnp.arange(N))
+        rew = r_now + gamma * rew
+    sp_gamma = (gamma ** gammas.astype(jnp.float32))[..., None]
+
+    take_agent = lambda arr: jax.vmap(lambda idx, a: arr[idx, a])(final, jnp.arange(N))
+    flatten = lambda x: x.reshape((N * batch_size,) + x.shape[2:])
+    start_agent = lambda arr: jnp.swapaxes(jnp.take(arr, start, axis=0), 0, 1)  # (N, batch, ·)
+
+    return Sample(
+        share_obs=flatten(start_agent(buf.share_obs)),
+        obs=tuple(jnp.take(o, start, axis=0) for o in buf.obs),
+        actions=tuple(jnp.take(a, start, axis=0) for a in buf.actions),
+        available_actions=None
+        if buf.available_actions is None
+        else tuple(jnp.take(a, start, axis=0) for a in buf.available_actions),
+        rewards=flatten(rew),
+        dones=flatten(take_agent(buf.dones)),
+        valid_transitions=tuple(jnp.take(v, start, axis=0) for v in buf.valid_transitions),
+        terms=flatten(take_agent(buf.terms)),
+        next_share_obs=flatten(take_agent(buf.next_share_obs)),
+        next_obs=tuple(
+            jnp.take(buf.next_obs[i], final[i], axis=0) for i in range(N)
+        ),
+        next_available_actions=None
+        if buf.next_available_actions is None
+        else tuple(
+            jnp.take(buf.next_available_actions[i], final[i], axis=0) for i in range(N)
+        ),
+        gamma=flatten(sp_gamma),
+    )

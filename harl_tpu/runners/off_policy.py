@@ -135,9 +135,14 @@ class OffPolicyRunner:
         self.obs_dims = [sp.shape[0] for sp in self.obs_spaces]
         self.share_obs_dim = env.share_observation_space[0].shape[0]
         self.discrete = spaces.space_kind(self.act_spaces[0]) != "Box"
+        self.state_type = getattr(env, "state_type", env_args.get("state_type", "EP"))
+        if self.state_type == "FP":
+            assert self.algo == "hasac", "off-policy FP state is a HASAC path"
+            assert not self.host_mode
 
         cfg = {**al, **md, "use_proper_time_limits": self.use_proper_time_limits,
-               "use_valuenorm": tr.get("use_valuenorm", False)}
+               "use_valuenorm": tr.get("use_valuenorm", False),
+               "_fp_agents": self.n_agents if self.state_type == "FP" else 1}
         actor_cls = ACTOR_REGISTRY[self.algo]
         if self.share_param:
             assert all(d == self.obs_dims[0] for d in self.obs_dims) and all(
@@ -208,17 +213,23 @@ class OffPolicyRunner:
             actor_states.append(st)
         critic_state = self.critic.init(k_critic)
         avail_dims = [sp.n for sp in self.act_spaces] if self.discrete else None
-        buf = init_buffer(
-            self.buffer_size,
-            self.share_obs_dim,
-            self.obs_dims,
-            [spaces.get_dim_from_space(sp) for sp in self.act_spaces],
-            avail_dims,
-        )
+        act_dims = [spaces.get_dim_from_space(sp) for sp in self.act_spaces]
+        if self.state_type == "FP":
+            from harl_tpu.buffers.off_policy import init_buffer_fp
+
+            buf = init_buffer_fp(
+                self.buffer_size, N, self.share_obs_dim, self.obs_dims,
+                act_dims, avail_dims,
+            )
+        else:
+            buf = init_buffer(
+                self.buffer_size, self.share_obs_dim, self.obs_dims,
+                act_dims, avail_dims,
+            )
         carry = OffRolloutCarry(
             env_state=env_state,
             obs=ts.obs,
-            share_obs=ts.share_obs,
+            share_obs=ts.agent_state if self.state_type == "FP" else ts.share_obs,
             avail=ts.available_actions,
             agent_deaths=jnp.zeros((B, N, 1)),
             ep_ret=jnp.zeros((B,)),
@@ -290,18 +301,40 @@ class OffPolicyRunner:
         valid = 1.0 - carry.agent_deaths  # (B, N, 1)
         new_deaths = final.dones[..., None].astype(jnp.float32)
         new_deaths = jnp.where(done_env[:, :, None] > 0, 0.0, new_deaths)
-        rew = final.rewards[:, 0]  # EP team reward (B,1)
-        batch = dict(
-            share_obs=carry.share_obs,
-            obs=tuple(carry.obs[:, i, : self.obs_dims[i]] for i in range(N)),
-            actions=tuple(a.astype(jnp.float32) for a in acts),
-            rewards=rew,
-            dones=done_env,
-            valid_transitions=tuple(valid[:, i] for i in range(N)),
-            terms=terms,
-            next_share_obs=final.share_obs,
-            next_obs=tuple(final.obs[:, i, : self.obs_dims[i]] for i in range(N)),
-        )
+        if self.state_type == "FP":
+            # per-agent dones/terms (off_policy_base_runner.py FP branch)
+            dones_fp = final.dones[..., None].astype(jnp.float32)
+            terms_fp = dones_fp * (
+                1.0 - final.bad_transition.astype(jnp.float32)[:, None, None]
+            )
+            batch = dict(
+                share_obs=carry.share_obs,           # (B, N, ds)
+                obs=tuple(carry.obs[:, i, : self.obs_dims[i]] for i in range(N)),
+                actions=tuple(a.astype(jnp.float32) for a in acts),
+                rewards=final.rewards,               # (B, N, 1)
+                dones=dones_fp,
+                valid_transitions=tuple(valid[:, i] for i in range(N)),
+                terms=terms_fp,
+                next_share_obs=final.agent_state
+                if final.agent_state is not None
+                else jnp.broadcast_to(
+                    final.share_obs[:, None], carry.share_obs.shape
+                ),
+                next_obs=tuple(final.obs[:, i, : self.obs_dims[i]] for i in range(N)),
+            )
+        else:
+            rew = final.rewards[:, 0]  # EP team reward (B,1)
+            batch = dict(
+                share_obs=carry.share_obs,
+                obs=tuple(carry.obs[:, i, : self.obs_dims[i]] for i in range(N)),
+                actions=tuple(a.astype(jnp.float32) for a in acts),
+                rewards=rew,
+                dones=done_env,
+                valid_transitions=tuple(valid[:, i] for i in range(N)),
+                terms=terms,
+                next_share_obs=final.share_obs,
+                next_obs=tuple(final.obs[:, i, : self.obs_dims[i]] for i in range(N)),
+            )
         if self.discrete and carry.avail is not None:
             batch["available_actions"] = tuple(
                 carry.avail[:, i, : self.act_spaces[i].n] for i in range(N)
@@ -316,7 +349,7 @@ class OffPolicyRunner:
         new_carry = OffRolloutCarry(
             env_state=tr.state,
             obs=ts.obs,
-            share_obs=ts.share_obs,
+            share_obs=ts.agent_state if self.state_type == "FP" else ts.share_obs,
             avail=ts.available_actions,
             agent_deaths=new_deaths,
             ep_ret=jnp.where(done_env[:, 0] > 0, 0.0, ep_ret),
@@ -371,10 +404,18 @@ class OffPolicyRunner:
 
         def one_update(st: OffPolicyState, _):
             rng, k_sample, k_next, k_actor, k_order = jax.random.split(st.rng, 5)
-            sp = sample(
-                st.buffer, k_sample, self.batch_size, self.n_step, self.gamma,
-                self.n_rollout_threads,
-            )
+            if self.state_type == "FP":
+                from harl_tpu.buffers.off_policy import sample_fp
+
+                sp = sample_fp(
+                    st.buffer, k_sample, self.batch_size, self.n_step,
+                    self.gamma, self.n_rollout_threads,
+                )
+            else:
+                sp = sample(
+                    st.buffer, k_sample, self.batch_size, self.n_step,
+                    self.gamma, self.n_rollout_threads,
+                )
             total_it = st.total_it + 1
             critic_state, actors = st.critic, st.actors
 
@@ -555,11 +596,17 @@ class OffPolicyRunner:
                     joint = jnp.concatenate(
                         [a_i if j == i else actions[j] for j in range(N)], axis=-1
                     )
-                    q = self.critic.get_values(critic_state, sp.share_obs, joint)
                     lp_sum = jnp.sum(lp_i, axis=-1, keepdims=True)
+                    vt = sp.valid_transitions[i]
+                    if self.state_type == "FP":
+                        # tile joint action/logp/valid across the agent-major
+                        # state axis (off_policy_ha_runner.py:113-146)
+                        joint = jnp.tile(joint, (N, 1))
+                        lp_sum = jnp.tile(lp_sum, (N, 1))
+                        vt = jnp.tile(vt, (N, 1))
+                    q = self.critic.get_values(critic_state, sp.share_obs, joint)
                     obj = q - alpha_i * lp_sum
                     if self.use_policy_active_masks:
-                        vt = sp.valid_transitions[i]
                         return -jnp.sum(obj * vt) / jnp.maximum(jnp.sum(vt), 1e-9), lp_i
                     return -jnp.mean(obj), lp_i
 

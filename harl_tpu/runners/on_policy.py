@@ -715,10 +715,10 @@ class OnPolicyRunner:
         return float(np.mean(returns))
 
     # ------------------------------------------------------------------ eval
-    def eval_rollout(self, ts: TrainState, n_eval_envs: int):
+    def eval_rollout(self, ts: TrainState, n_eval_envs: int, round_idx: int = 0):
         """Deterministic policy for one episode per eval env; returns mean return."""
         vec = VecEnv(self.env, n_eval_envs)
-        rng = jax.random.fold_in(ts.rng, 7777)
+        rng = jax.random.fold_in(jax.random.fold_in(ts.rng, 7777), round_idx)
         env_state, ets = vec.reset(rng)
 
         H = self.hidden_sizes[-1]
@@ -954,7 +954,16 @@ class OnPolicyRunner:
                 if self.host_mode:
                     eval_ret = self.host_eval(state, n_eval)
                 else:
-                    eval_ret = float(self._eval_fn(state, n_eval))
+                    # run until eval_episodes episodes complete
+                    # (on_policy_base_runner.py:587-591)
+                    eval_eps = ev.get("eval_episodes", n_eval)
+                    rounds = max((eval_eps + n_eval - 1) // n_eval, 1)
+                    eval_ret = float(
+                        np.mean([
+                            float(self._eval_fn(state, n_eval, r))
+                            for r in range(rounds)
+                        ])
+                    )
                 if logger is not None:
                     logger.log_eval(episode * steps_per_iter, eval_ret)
                 if history:

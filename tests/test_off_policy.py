@@ -181,3 +181,21 @@ def test_share_param_off_policy():
     state, _ = runner._collect(state)
     state, m = runner._train(state)
     assert np.isfinite(float(m["critic_loss"]))
+
+
+def test_hasac_fp_on_smaclite():
+    """FP off-policy path: per-agent states, FP buffer walks, tiled critic."""
+    algo_args, _ = _off_cfg("hasac")
+    algo_args["algo"]["auto_alpha"] = True
+    runner = OffPolicyRunner(
+        {"algo": "hasac", "env": "smaclite", "exp_name": "t"},
+        algo_args,
+        {"map_name": "3m", "episode_limit": 10, "state_type": "FP"},
+    )
+    assert runner.state_type == "FP"
+    state = runner.init_state(1)
+    assert state.buffer.share_obs.ndim == 3  # (S, N, ds)
+    state = runner._warmup(state)
+    state, _ = runner._collect(state)
+    state, m = runner._train(state)
+    assert np.isfinite(float(m["critic_loss"]))
