@@ -31,9 +31,14 @@ def make_env(env_name: str, env_args: dict):
                 kwargs[k] = env_args[k]
         return make_smaclite(env_args.get("map_name", "5m_vs_5m"), **kwargs)
     if env_name in ("mamujoco_jax", "manyagent_swimmer"):
-        from harl_tpu.envs.mamujoco_jax.swimmer import make_swimmer
+        scenario = env_args.get("scenario", "manyagent_swimmer")
+        if scenario in ("manyagent_swimmer", "Swimmer-v2"):
+            from harl_tpu.envs.mamujoco_jax.swimmer import make_swimmer
 
-        return make_swimmer(env_args)
+            return make_swimmer(env_args)
+        from harl_tpu.envs.mamujoco_jax.planar import make_planar
+
+        return make_planar(env_args)
     if env_name == "mamujoco":
         from harl_tpu.envs.mamujoco.mamujoco import make_mamujoco
 
