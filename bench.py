@@ -1,10 +1,15 @@
-"""Benchmark: HAPPO training throughput (env-steps/s) on JAX-MPE simple_spread.
+"""Benchmark: HAPPO training throughput on MAMuJoCo HalfCheetah-6x1 (pure-JAX).
 
-Runs the full jitted train iteration (rollout + GAE + sequential update +
-critic) on the available accelerator and reports steady-state environment
-steps per second. ``vs_baseline`` is measured against the PyTorch reference's
-typical MPE collection throughput (~4k env-steps/s with 20 subprocess workers
-on a desktop GPU; the reference never publishes numbers — BASELINE.md).
+The flagship BASELINE.md config: the full jitted HAPPO train iteration
+(rollout scan over the planar-cheetah physics + GAE + sequential-update +
+critic epochs) on the available accelerator, reporting steady-state
+environment steps per second.
+
+``vs_baseline`` is measured against an estimate of the PyTorch reference's
+throughput on the same task (~8k env-steps/s: 20 subprocess MuJoCo workers
+with per-step policy forwards and Pipe round-trips on a desktop GPU — the
+reference never publishes numbers, BASELINE.md). The driver-set target is
+1M env-steps/s on a v4-16 (8 chips), i.e. 125k/chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -14,17 +19,28 @@ import time
 
 sys.path.insert(0, ".")
 
-import jax
-
-REFERENCE_FPS = 4000.0  # PyTorch HARL MPE rollout throughput estimate (20 workers)
+REFERENCE_FPS = 8000.0  # PyTorch HARL MAMuJoCo rollout throughput estimate
 
 
 def main():
-    from __graft_entry__ import _make_runner
+    from harl_tpu.runners.on_policy import OnPolicyRunner
+    from harl_tpu.utils.config_tools import get_defaults_yaml_args
 
-    n_threads = int(float(sys.argv[1])) if len(sys.argv) > 1 else 8192
-    episode_length = 25
-    runner = _make_runner(n_rollout_threads=n_threads, episode_length=episode_length)
+    n_threads = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2048
+    episode_length = 32
+    algo_args, env_args = get_defaults_yaml_args("happo", "mamujoco_jax")
+    algo_args["train"].update(
+        n_rollout_threads=n_threads,
+        episode_length=episode_length,
+        num_env_steps=10**9,
+    )
+    algo_args["model"].update(hidden_sizes=[64, 64])
+    env_args.update(scenario="HalfCheetah-v2", agent_conf="6x1", episode_limit=1000)
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "mamujoco_jax", "exp_name": "bench"},
+        algo_args,
+        env_args,
+    )
     state = runner.init_state(0)
 
     # warmup: first compile + layout-change recompile both happen in the first
@@ -34,7 +50,7 @@ def main():
         state, metrics = runner._train_iteration(state)
     float(metrics["value_loss"])
 
-    iters = 20
+    iters = 15
     t0 = time.time()
     for _ in range(iters):
         state, metrics = runner._train_iteration(state)
@@ -46,7 +62,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "happo_mpe_env_steps_per_s",
+                "metric": "happo_halfcheetah6x1_env_steps_per_s",
                 "value": round(fps, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(fps / REFERENCE_FPS, 2),
