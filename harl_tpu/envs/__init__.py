@@ -55,10 +55,14 @@ def make_env(env_name: str, env_args: dict):
         from harl_tpu.envs.lag.lag_env import LAGEnv
 
         return LAGEnv(env_args)
-    if env_name == "dexhands":
-        raise NotImplementedError(
-            "Bi-DexterousHands is IsaacGym-based in the reference; the "
-            "TPU-native counterpart (pure-JAX ShadowHandOver-class task) is "
-            "planned — see ARCHITECTURE.md roadmap."
-        )
+    if env_name in ("dexhands", "dexhands_jax"):
+        from harl_tpu.envs.dexhands_jax.handover import make_handover
+
+        task = env_args.get("task", "ShadowHandOver")
+        if task != "ShadowHandOver":
+            raise NotImplementedError(
+                f"dexhands_jax task {task!r}: only the ShadowHandOver-class "
+                "hand-over task has a pure-JAX implementation so far."
+            )
+        return make_handover(env_args)
     raise ValueError(f"Unknown env {env_name!r}")

@@ -1,0 +1,314 @@
+"""Pure-JAX ShadowHandOver-class task: the TPU-native Bi-DexterousHands analogue.
+
+Reference counterpart: ``harl/envs/dexhands/dexhands_env.py`` +
+``DexterousHands/bidexhands/tasks/shadow_hand_over.py`` — an IsaacGym task
+where two fixed-base Shadow Hands face each other and agent 0 must toss an
+object into agent 1's grasp, with per-hand observation views sliced from one
+batched obs buffer (``tasks/hand_base/multi_vec_task.py:164-240``) and envs
+batched on the accelerator.
+
+This is a from-scratch re-design for TPU, not a physics port: IsaacGym's PhysX
+hands (24-DoF tendon-driven) are replaced by a differentiable simplified hand —
+5 fingers x 4 servo-driven joints (abduction + 3 flexion), fingertip positions
+by forward kinematics, velocities by jvp — interacting with a free rigid
+sphere-inertia object through penalty contacts (spring + damping + regularized
+Coulomb friction), everything batched under vmap+jit like the rest of
+``envs/mamujoco_jax``. What is preserved is the TASK AND INTERFACE CONTRACT:
+
+  * 2 heterogeneous agents, each a Box(-1,1,20) action space (the reference's
+    20 actuated DoF per hand);
+  * per-agent obs views + a shared global state (EP);
+  * hand 0 palm-up below, hand 1 palm-down above; the object spawns resting on
+    hand 0's palm; a random goal pose sits in hand 1's grasp region;
+  * reward = distance + orientation shaping toward the goal pose with a
+    success bonus and a drop penalty (shadow_hand_over.py reward structure);
+  * episodes end on success / drop / ``episode_length`` timeout — the
+    "always done" batched-env pattern the dexhands logger special-cases
+    (``dexhands_logger.py``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from harl_tpu.envs.core import TimeStep
+from harl_tpu.utils import spaces
+
+# hand geometry -------------------------------------------------------------
+N_FINGERS = 5
+N_JOINTS = 4 * N_FINGERS                  # 20 per hand: abduction + 3 flexion
+SEG_LEN = jnp.array([0.045, 0.03, 0.025])  # finger segment lengths (m)
+FINGER_BASE_X = np.array([-0.04, -0.02, 0.0, 0.02, 0.04])   # spread across palm
+FINGER_BASE_Y = np.array([0.05, 0.055, 0.06, 0.055, 0.05])  # palm edge
+ABDUCT_RANGE = 0.35                        # rad
+FLEX_LO, FLEX_HI = -0.2, 1.7               # rad per flexion joint
+SERVO_GAIN = 20.0                          # 1/s toward target
+JOINT_VMAX = 12.0                          # rad/s
+TIP_RADIUS = 0.012
+
+# object / world ------------------------------------------------------------
+OBJ_RADIUS = 0.035
+OBJ_MASS = 0.08
+OBJ_INERTIA = 0.4 * OBJ_MASS * OBJ_RADIUS ** 2   # solid sphere
+GRAVITY = 9.81
+PALM_HALF = 0.07                           # palm half-extent (square pad)
+HAND0_POS = np.array([0.0, 0.0, 0.0])      # palm-up, at origin
+HAND1_POS = np.array([0.0, 0.0, 0.24])     # palm-down, above
+CONTACT_K = 1500.0
+CONTACT_D = 8.0
+FRICTION_MU = 1.0
+FRICTION_VREG = 0.05
+DT = 1.0 / 240.0
+SUBSTEPS = 4                               # control at 60 Hz
+
+SUCCESS_DIST = 0.05
+DROP_Z = -0.08
+
+
+class HandOverState(NamedTuple):
+    theta: jnp.ndarray     # (2, 20) joint angles
+    theta_t: jnp.ndarray   # (2, 20) servo targets
+    obj_pos: jnp.ndarray   # (3,)
+    obj_quat: jnp.ndarray  # (4,) wxyz
+    obj_vel: jnp.ndarray   # (3,)
+    obj_omg: jnp.ndarray   # (3,)
+    goal_pos: jnp.ndarray  # (3,)
+    goal_quat: jnp.ndarray  # (4,)
+    t: jnp.ndarray         # () int32
+
+
+def _fingertips(theta: jnp.ndarray, hand: int) -> jnp.ndarray:
+    """(5, 3) world fingertip positions for one hand.
+
+    Palm-up (hand 0): fingers extend in +y, curl toward +z.
+    Palm-down (hand 1): mirrored (extend in -y, curl toward -z).
+    """
+    th = theta.reshape(N_FINGERS, 4)
+    abduct = th[:, 0] * ABDUCT_RANGE
+    flex = jnp.cumsum(jnp.clip(th[:, 1:], FLEX_LO, FLEX_HI), axis=1)  # (5, 3)
+    sign = 1.0 if hand == 0 else -1.0
+    base = jnp.stack(
+        [jnp.asarray(FINGER_BASE_X),
+         sign * jnp.asarray(FINGER_BASE_Y),
+         jnp.zeros(N_FINGERS)], axis=1)
+    base = base + jnp.asarray(HAND0_POS if hand == 0 else HAND1_POS)
+    # in-palm-plane finger direction rotated by abduction about palm normal
+    ca, sa = jnp.cos(abduct), jnp.sin(abduct)
+    dir_xy = jnp.stack([sa, sign * ca], axis=1)            # (5, 2)
+    # each segment: in-plane component shrinks with curl, normal grows
+    seg_inplane = jnp.cos(flex) * SEG_LEN[None, :]          # (5, 3)
+    seg_normal = jnp.sin(flex) * SEG_LEN[None, :]
+    reach = jnp.sum(seg_inplane, axis=1)                    # (5,)
+    lift = sign * jnp.sum(seg_normal, axis=1)               # curl toward object
+    tips = base + jnp.concatenate(
+        [dir_xy * reach[:, None], lift[:, None]], axis=1)
+    return tips
+
+
+def _quat_mul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return jnp.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def _quat_angle(a, b):
+    """Rotation angle between two unit quaternions."""
+    d = jnp.abs(jnp.sum(a * b))
+    return 2.0 * jnp.arccos(jnp.clip(d, -1.0, 1.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShadowHandOver:
+    """2-agent hand-over task; agent h controls hand h's 20 joints."""
+
+    episode_length: int = 75
+    n_agents: int = 2
+
+    @property
+    def obs_dim(self) -> int:
+        return 20 + 20 + 15 + 13 + 7 + 3   # 78
+
+    @property
+    def state_dim(self) -> int:
+        return 40 + 40 + 30 + 13 + 7 + 3   # 133
+
+    @property
+    def observation_space(self):
+        return [spaces.Box.create(-jnp.inf, jnp.inf, self.obs_dim)] * 2
+
+    @property
+    def share_observation_space(self):
+        return [spaces.Box.create(-jnp.inf, jnp.inf, self.state_dim)] * 2
+
+    @property
+    def action_space(self):
+        return [spaces.Box.create(-1.0, 1.0, N_JOINTS)] * 2
+
+    # ------------------------------------------------------------------ api
+    def reset(self, key) -> Tuple[HandOverState, TimeStep]:
+        k1, k2, k3 = jax.random.split(key, 3)
+        theta = jnp.zeros((2, N_JOINTS))
+        obj_pos = jnp.array([0.0, 0.045, OBJ_RADIUS + 0.002]) + \
+            0.01 * jax.random.normal(k1, (3,))
+        goal_pos = jnp.asarray(HAND1_POS) + jnp.array([0.0, -0.045, -0.06]) + \
+            0.01 * jax.random.normal(k2, (3,))
+        ax = jax.random.normal(k3, (3,))
+        ax = ax / (jnp.linalg.norm(ax) + 1e-8)
+        ang = jax.random.uniform(k3, (), minval=-np.pi, maxval=np.pi)
+        goal_quat = jnp.concatenate(
+            [jnp.cos(ang / 2)[None], jnp.sin(ang / 2) * ax])
+        state = HandOverState(
+            theta=theta, theta_t=theta,
+            obj_pos=obj_pos, obj_quat=jnp.array([1.0, 0, 0, 0]),
+            obj_vel=jnp.zeros(3), obj_omg=jnp.zeros(3),
+            goal_pos=goal_pos, goal_quat=goal_quat,
+            t=jnp.zeros((), jnp.int32))
+        return state, self._timestep(state, jnp.zeros(()), jnp.zeros((), bool),
+                                     jnp.zeros((), bool), jnp.zeros((), bool))
+
+    def step(self, state: HandOverState, actions, key):
+        del key
+        a = jnp.clip(jnp.asarray(actions).reshape(2, N_JOINTS), -1.0, 1.0)
+        # servo targets from actions (abduction symmetric, flexion to range)
+        tgt = a.reshape(2, N_FINGERS, 4)
+        tgt = jnp.concatenate(
+            [tgt[..., :1],
+             FLEX_LO + (tgt[..., 1:] + 1.0) * 0.5 * (FLEX_HI - FLEX_LO)],
+            axis=-1).reshape(2, N_JOINTS)
+
+        theta, obj_pos, obj_quat, obj_vel, obj_omg = (
+            state.theta, state.obj_pos, state.obj_quat, state.obj_vel,
+            state.obj_omg)
+        for _ in range(SUBSTEPS):
+            theta, obj_pos, obj_quat, obj_vel, obj_omg = self._substep(
+                theta, tgt, obj_pos, obj_quat, obj_vel, obj_omg)
+
+        dist = jnp.linalg.norm(obj_pos - state.goal_pos)
+        rot = _quat_angle(obj_quat, state.goal_quat)
+        success = dist < SUCCESS_DIST
+        dropped = obj_pos[2] < DROP_Z
+        # shadow_hand_over-style shaping: approach + orientation + bonuses
+        reward = (-2.0 * dist - 0.1 * rot
+                  + 10.0 * success.astype(jnp.float32)
+                  - 2.0 * dropped.astype(jnp.float32))
+        new_t = state.t + 1
+        trunc = new_t >= self.episode_length
+        done = jnp.logical_or(jnp.logical_or(success, dropped), trunc)
+        bad = jnp.logical_and(trunc, ~jnp.logical_or(success, dropped))
+        new_state = HandOverState(
+            theta=theta, theta_t=tgt, obj_pos=obj_pos, obj_quat=obj_quat,
+            obj_vel=obj_vel, obj_omg=obj_omg, goal_pos=state.goal_pos,
+            goal_quat=state.goal_quat, t=new_t)
+        return new_state, self._timestep(new_state, reward, done, bad, success)
+
+    # ------------------------------------------------------------- dynamics
+    def _substep(self, theta, tgt, obj_pos, obj_quat, obj_vel, obj_omg):
+        # servo joints
+        theta_dot = jnp.clip(SERVO_GAIN * (tgt - theta), -JOINT_VMAX, JOINT_VMAX)
+        new_theta = theta + DT * theta_dot
+        new_theta = new_theta.at[:, :].set(jnp.concatenate(
+            [jnp.clip(new_theta.reshape(2, N_FINGERS, 4)[..., :1], -1.0, 1.0),
+             jnp.clip(new_theta.reshape(2, N_FINGERS, 4)[..., 1:],
+                      FLEX_LO, FLEX_HI)], axis=-1).reshape(2, N_JOINTS))
+
+        force = jnp.array([0.0, 0.0, -OBJ_MASS * GRAVITY])
+        torque = jnp.zeros(3)
+        for h in range(2):
+            tips, tips_v = jax.jvp(
+                lambda th: _fingertips(th, h), (new_theta[h],),
+                ((new_theta[h] - theta[h]) / DT,))
+            f, tq = self._tip_contacts(tips, tips_v, obj_pos, obj_vel, obj_omg)
+            force = force + f
+            torque = torque + tq
+        # palm pads: planes z=0 (up) and z=HAND1 z (down), within palm extent
+        force, torque = self._palm_contact(
+            obj_pos, obj_vel, obj_omg, force, torque, 0)
+        force, torque = self._palm_contact(
+            obj_pos, obj_vel, obj_omg, force, torque, 1)
+
+        new_vel = obj_vel + DT * force / OBJ_MASS
+        new_pos = obj_pos + DT * new_vel
+        new_omg = obj_omg + DT * torque / OBJ_INERTIA
+        dq = 0.5 * _quat_mul(jnp.concatenate([jnp.zeros(1), new_omg]), obj_quat)
+        new_quat = obj_quat + DT * dq
+        new_quat = new_quat / (jnp.linalg.norm(new_quat) + 1e-8)
+        return new_theta, new_pos, new_quat, new_vel, new_omg
+
+    def _tip_contacts(self, tips, tips_v, obj_pos, obj_vel, obj_omg):
+        d = obj_pos[None, :] - tips                       # (5, 3)
+        dist = jnp.linalg.norm(d, axis=1) + 1e-8
+        n = d / dist[:, None]
+        pen = jnp.maximum(OBJ_RADIUS + TIP_RADIUS - dist, 0.0)
+        # contact point on object surface; relative velocity there
+        rc = -OBJ_RADIUS * n                              # from object center
+        v_obj = obj_vel[None, :] + jnp.cross(
+            jnp.broadcast_to(obj_omg, (N_FINGERS, 3)), rc)
+        v_rel = v_obj - tips_v
+        vn = jnp.sum(v_rel * n, axis=1)
+        N = jnp.maximum(CONTACT_K * pen - CONTACT_D * vn * (pen > 0), 0.0)
+        vt = v_rel - vn[:, None] * n
+        vt_mag = jnp.linalg.norm(vt, axis=1) + FRICTION_VREG
+        ft = -FRICTION_MU * N[:, None] * vt / vt_mag[:, None]
+        f = N[:, None] * n + ft                           # (5, 3) on object
+        torque = jnp.sum(jnp.cross(rc, f), axis=0)
+        return jnp.sum(f, axis=0), torque
+
+    def _palm_contact(self, obj_pos, obj_vel, obj_omg, force, torque, hand):
+        palm = jnp.asarray(HAND0_POS if hand == 0 else HAND1_POS)
+        sign = 1.0 if hand == 0 else -1.0                 # palm normal ±z
+        gap = sign * (obj_pos[2] - palm[2]) - OBJ_RADIUS
+        inside = jnp.logical_and(
+            jnp.abs(obj_pos[0] - palm[0]) < PALM_HALF + OBJ_RADIUS,
+            jnp.abs(obj_pos[1] - palm[1]) < PALM_HALF + OBJ_RADIUS)
+        pen = jnp.maximum(-gap, 0.0) * inside
+        n = jnp.array([0.0, 0.0, sign])
+        rc = -OBJ_RADIUS * n
+        v_c = obj_vel + jnp.cross(obj_omg, rc)
+        vn = jnp.sum(v_c * n)
+        N = jnp.maximum(CONTACT_K * pen - CONTACT_D * vn * (pen > 0), 0.0)
+        vt = v_c - vn * n
+        ft = -FRICTION_MU * N * vt / (jnp.linalg.norm(vt) + FRICTION_VREG)
+        f = N * n + ft
+        return force + f, torque + jnp.cross(rc, f)
+
+    # ---------------------------------------------------------- observation
+    def _timestep(self, state, reward, done, bad, success) -> TimeStep:
+        theta_dot = jnp.clip(
+            SERVO_GAIN * (state.theta_t - state.theta), -JOINT_VMAX, JOINT_VMAX)
+        tips0 = _fingertips(state.theta[0], 0).reshape(-1)
+        tips1 = _fingertips(state.theta[1], 1).reshape(-1)
+        obj = jnp.concatenate(
+            [state.obj_pos, state.obj_quat, state.obj_vel, state.obj_omg])
+        goal = jnp.concatenate([state.goal_pos, state.goal_quat])
+        rel = state.goal_pos - state.obj_pos
+        obs0 = jnp.concatenate(
+            [state.theta[0], theta_dot[0], tips0, obj, goal, rel])
+        obs1 = jnp.concatenate(
+            [state.theta[1], theta_dot[1], tips1, obj, goal, rel])
+        share = jnp.concatenate(
+            [state.theta.reshape(-1), theta_dot.reshape(-1), tips0, tips1,
+             obj, goal, rel])
+        return TimeStep(
+            obs=jnp.stack([obs0, obs1]).astype(jnp.float32),
+            share_obs=share.astype(jnp.float32),
+            rewards=jnp.broadcast_to(reward, (2, 1)).astype(jnp.float32),
+            dones=jnp.broadcast_to(done, (2,)),
+            bad_transition=bad,
+            available_actions=None,
+            metrics={"won": success.astype(jnp.float32)},
+        )
+
+
+def make_handover(env_args: dict) -> ShadowHandOver:
+    return ShadowHandOver(
+        episode_length=env_args.get("hands_episode_length",
+                                    env_args.get("episode_limit", 75)))

@@ -1,0 +1,107 @@
+"""Pure-JAX ShadowHandOver (Bi-DexterousHands analogue) tests.
+
+Covers the interface contract of the reference dexhands adapter
+(harl/envs/dexhands/dexhands_env.py: 2 agents, per-hand obs views, shared
+state, batched always-done envs) and the physics sanity of the penalty-contact
+hand/object model.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from harl_tpu.envs.dexhands_jax.handover import make_handover
+
+
+def test_spaces_and_shapes():
+    env = make_handover({})
+    assert env.n_agents == 2
+    assert env.action_space[0].shape == (20,)
+    assert env.observation_space[0].shape == (78,)
+    assert env.share_observation_space[0].shape == (133,)
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    assert ts.obs.shape == (2, 78)
+    assert ts.share_obs.shape == (133,)
+    assert ts.metrics is not None and "won" in ts.metrics
+
+
+def test_object_rests_on_lower_palm():
+    env = make_handover({})
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    for _ in range(30):
+        state, ts = step(state, jnp.zeros((2, 20)), key)
+    # supported by palm contact: stays at ~OBJ_RADIUS above palm plane
+    assert 0.02 < float(state.obj_pos[2]) < 0.08
+    assert not bool(ts.dones[0])
+
+
+def test_timeout_is_truncation():
+    env = make_handover({"hands_episode_length": 10})
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    for _ in range(10):
+        state, ts = step(state, jnp.zeros((2, 20)), key)
+    assert bool(ts.dones[0]) and bool(ts.bad_transition)
+
+
+def test_drop_is_real_termination():
+    env = make_handover({})
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    # teleport the object off the palm so it free-falls
+    state = state._replace(obj_pos=jnp.array([0.5, 0.5, 0.0]))
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    done = False
+    for _ in range(40):
+        state, ts = step(state, jnp.zeros((2, 20)), key)
+        if bool(ts.dones[0]):
+            done = True
+            break
+    assert done and not bool(ts.bad_transition)
+
+
+def test_scoop_can_reach_goal_height():
+    """The task must be physically solvable: a full-curl scoop by hand 0
+    launches the object above the goal height."""
+    env = make_handover({})
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    a_curl = jnp.zeros((2, 20)).at[0].set(jnp.tile(jnp.array([0., 1., 1., 1.]), 5))
+    max_z = 0.0
+    for i in range(40):
+        a = a_curl if i >= 3 else jnp.zeros((2, 20))
+        state, ts = step(state, a, key)
+        max_z = max(max_z, float(state.obj_pos[2]))
+    assert max_z > float(state.goal_pos[2])
+    assert np.all(np.isfinite(np.asarray(state.obj_pos)))
+
+
+def test_vmap_batched():
+    env = make_handover({})
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    states, ts = jax.jit(jax.vmap(env.reset))(keys)
+    assert ts.obs.shape == (8, 2, 78)
+    acts = jnp.zeros((8, 2, 20))
+    _, ts2 = jax.jit(jax.vmap(env.step))(states, acts, keys)
+    assert bool(jnp.all(jnp.isfinite(ts2.obs)))
+
+
+def test_happo_trains_on_handover():
+    """End-to-end jitted HAPPO iteration on the hand-over task."""
+    from harl_tpu.runners.on_policy import OnPolicyRunner
+    from harl_tpu.utils.config_tools import get_defaults_yaml_args
+
+    algo_args, env_args = get_defaults_yaml_args("happo", "dexhands_jax")
+    algo_args["train"].update(
+        n_rollout_threads=8, episode_length=16, num_env_steps=8 * 16 * 2)
+    algo_args["model"].update(hidden_sizes=[32, 32])
+    algo_args["algo"].update(ppo_epoch=2, critic_epoch=2)
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "dexhands_jax", "exp_name": "test"},
+        algo_args, env_args)
+    state = runner.init_state(0)
+    state, metrics = runner._train_iteration(state)
+    assert np.isfinite(float(metrics["value_loss"]))
