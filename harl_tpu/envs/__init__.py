@@ -40,6 +40,15 @@ def make_env(env_name: str, env_args: dict):
 
         return make_planar(env_args)
     if env_name == "mamujoco":
+        backend = env_args.get("backend", "auto")
+        if backend in ("auto", "native"):
+            try:
+                from harl_tpu.envs.mamujoco.native_vec import make_native_mamujoco
+
+                return make_native_mamujoco(env_args)
+            except (ImportError, ValueError, RuntimeError):
+                if backend == "native":
+                    raise
         from harl_tpu.envs.mamujoco.mamujoco import make_mamujoco
 
         return make_mamujoco(env_args)

@@ -120,13 +120,18 @@ class OffPolicyRunner:
             from harl_tpu.envs import make_env
             from harl_tpu.envs.host import HostVecEnv
 
-            self.vec = HostVecEnv(
-                [(lambda e=env: e)]
-                + [
-                    (lambda: make_env(args["env"], env_args))
-                    for _ in range(self.n_rollout_threads - 1)
-                ]
-            )
+            if getattr(env, "is_vectorized", False):
+                # pre-vectorized host env (native C++ stepping engine)
+                env.ensure_envs(self.n_rollout_threads)
+                self.vec = env
+            else:
+                self.vec = HostVecEnv(
+                    [(lambda e=env: e)]
+                    + [
+                        (lambda: make_env(args["env"], env_args))
+                        for _ in range(self.n_rollout_threads - 1)
+                    ]
+                )
         else:
             self.vec = VecEnv(env, self.n_rollout_threads)
         self.n_agents = env.n_agents
@@ -840,10 +845,17 @@ class OffPolicyRunner:
         from harl_tpu.envs.host import HostVecEnv
 
         n_envs = min(n_episodes, 10)
-        vec = HostVecEnv(
-            [(lambda: make_env(self.args["env"], self.env_args)) for _ in range(n_envs)],
-            seed=50000,
-        )
+        probe = make_env(self.args["env"], self.env_args)
+        if getattr(probe, "is_vectorized", False):
+            probe.ensure_envs(n_envs, seed=50000)
+            vec = probe
+        else:
+            vec = HostVecEnv(
+                [(lambda e=probe: e)]
+                + [(lambda: make_env(self.args["env"], self.env_args))
+                   for _ in range(n_envs - 1)],
+                seed=50000,
+            )
         obs, share, avail = vec.reset()
         carry = OffRolloutCarry(
             env_state=jnp.zeros(()),

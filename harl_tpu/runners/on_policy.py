@@ -111,11 +111,16 @@ class OnPolicyRunner:
             from harl_tpu.envs import make_env
             from harl_tpu.envs.host import HostVecEnv
 
-            fns = [env] + [
-                (lambda: make_env(args["env"], env_args))
-                for _ in range(self.n_rollout_threads - 1)
-            ]
-            self.vec = HostVecEnv([(lambda e=env: e)] + fns[1:])
+            if getattr(env, "is_vectorized", False):
+                # pre-vectorized host env (native C++ stepping engine)
+                env.ensure_envs(self.n_rollout_threads)
+                self.vec = env
+            else:
+                fns = [env] + [
+                    (lambda: make_env(args["env"], env_args))
+                    for _ in range(self.n_rollout_threads - 1)
+                ]
+                self.vec = HostVecEnv([(lambda e=env: e)] + fns[1:])
         else:
             self.vec = VecEnv(env, self.n_rollout_threads)
         self.n_agents = env.n_agents
@@ -674,10 +679,17 @@ class OnPolicyRunner:
         from harl_tpu.envs.host import HostVecEnv
 
         n_envs = min(n_episodes, 10)
-        vec = HostVecEnv(
-            [(lambda: make_env(self.args["env"], self.env_args)) for _ in range(n_envs)],
-            seed=50000,
-        )
+        probe = make_env(self.args["env"], self.env_args)
+        if getattr(probe, "is_vectorized", False):
+            probe.ensure_envs(n_envs, seed=50000)
+            vec = probe
+        else:
+            vec = HostVecEnv(
+                [(lambda e=probe: e)]
+                + [(lambda: make_env(self.args["env"], self.env_args))
+                   for _ in range(n_envs - 1)],
+                seed=50000,
+            )
         obs, share, avail = vec.reset()
         B = n_envs
         H = self.hidden_sizes[-1]
