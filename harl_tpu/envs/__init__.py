@@ -60,6 +60,10 @@ def make_env(env_name: str, env_args: dict):
         from harl_tpu.envs.football.football_env import FootballEnv
 
         return FootballEnv(env_args)
+    if env_name in ("lag_jax", "aircombat"):
+        from harl_tpu.envs.lag_jax.aircombat import make_aircombat
+
+        return make_aircombat(env_args)
     if env_name == "lag":
         from harl_tpu.envs.lag.lag_env import LAGEnv
 
