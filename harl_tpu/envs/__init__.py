@@ -56,6 +56,10 @@ def make_env(env_name: str, env_args: dict):
         from harl_tpu.envs.gym.gym_env import make_gym
 
         return make_gym(env_args)
+    if env_name in ("football_jax", "soccer"):
+        from harl_tpu.envs.football_jax.soccer import make_soccer
+
+        return make_soccer(env_args)
     if env_name == "football":
         from harl_tpu.envs.football.football_env import FootballEnv
 
