@@ -49,9 +49,9 @@ TURN_MAX = 0.35               # rad/s at V_REF
 GAMMA_MAX = 0.5               # rad max climb angle
 GAMMA_RATE = 0.3              # rad/s toward command
 ALT_MIN, ALT_MAX = 100.0, 12000.0
-GUN_RANGE = 800.0             # m
-GUN_AO = 0.26                 # rad (~15 deg)
-GUN_DPS = 0.25                # health/s in envelope
+GUN_RANGE = 1000.0            # m
+GUN_AO = 0.35                 # rad (~20 deg)
+GUN_DPS = 1.0                 # health/s in envelope (~1s sustained kill)
 TURN_BINS, CLIMB_BINS, THR_BINS = 11, 11, 10
 
 
@@ -72,6 +72,7 @@ class AirCombat:
     n_allies: int = 2
     n_enemies: int = 2
     episode_limit: int = 500
+    enemy_skill: float = 0.5   # scripted-AI turn-rate handicap (0..1)
 
     @property
     def n_agents(self) -> int:
@@ -184,7 +185,7 @@ class AirCombat:
             state.alive[ally] & ~alive_new[ally]).astype(jnp.float32)
         win = ~jnp.any(alive_new[foe])
         lose = ~jnp.any(alive_new[ally])
-        reward = (0.1 * posture + 20.0 * foes_downed - 20.0 * allies_downed
+        reward = (1.0 * posture + 20.0 * foes_downed - 20.0 * allies_downed
                   + 200.0 * win.astype(jnp.float32))
 
         new_t = state.t + 1
@@ -211,7 +212,8 @@ class AirCombat:
         brg = jnp.arctan2(tvec[:, 1], tvec[:, 0])
         epsi = state.psi[self.n_allies:]
         dpsi = jnp.arctan2(jnp.sin(brg - epsi), jnp.cos(brg - epsi))
-        turn = jnp.clip(dpsi / DT, -TURN_MAX, TURN_MAX)
+        max_turn = self.enemy_skill * TURN_MAX
+        turn = jnp.clip(dpsi / DT, -max_turn, max_turn)
         dz = tvec[:, 2]
         gam = jnp.clip(jnp.arctan2(dz, jnp.linalg.norm(tvec[:, :2], axis=1)),
                        -GAMMA_MAX, GAMMA_MAX)
@@ -272,4 +274,5 @@ def make_aircombat(env_args: dict) -> AirCombat:
         n_allies, n_enemies = 2, 2
     return AirCombat(
         n_allies=n_allies, n_enemies=n_enemies,
-        episode_limit=env_args.get("episode_limit", 500))
+        episode_limit=env_args.get("episode_limit", 500),
+        enemy_skill=env_args.get("enemy_skill", 0.5))
