@@ -359,7 +359,8 @@ class OffPolicyRunner:
             agent_deaths=new_deaths,
             ep_ret=jnp.where(done_env[:, 0] > 0, 0.0, ep_ret),
         )
-        return new_carry, buf, emitted, emitted_cnt
+        step_rew = jnp.mean(final.rewards)
+        return new_carry, buf, emitted, emitted_cnt, step_rew
 
     # --------------------------------------------------------------- warmup
     def warmup_block(self, state: OffPolicyState):
@@ -370,7 +371,7 @@ class OffPolicyRunner:
             carry, buf = carry_buf
             k1, k2 = jax.random.split(kk)
             stacked, acts = self._random_actions(k1, self.n_rollout_threads)
-            carry, buf, _, _ = self._env_step_insert(carry, buf, stacked, acts, k2)
+            carry, buf, _, _, _ = self._env_step_insert(carry, buf, stacked, acts, k2)
             return (carry, buf), None
 
         (carry, buf), _ = jax.lax.scan(
@@ -387,18 +388,17 @@ class OffPolicyRunner:
             carry, buf = carry_buf
             k1, k2 = jax.random.split(kk)
             stacked, acts = self._env_actions(state.actors, carry, k1, explore=True)
-            carry, buf, emitted, cnt = self._env_step_insert(carry, buf, stacked, acts, k2)
-            return (carry, buf), (emitted, cnt)
+            carry, buf, emitted, cnt, rew = self._env_step_insert(
+                carry, buf, stacked, acts, k2)
+            return (carry, buf), (emitted, cnt, rew)
 
-        (carry, buf), (emitted, cnt) = jax.lax.scan(
+        (carry, buf), (emitted, cnt, rew) = jax.lax.scan(
             body, (state.carry, state.buffer), jax.random.split(k, self.train_interval)
         )
         metrics = dict(
             episode_return_sum=jnp.sum(emitted),
             episode_count=jnp.sum(cnt),
-            mean_step_reward=jnp.mean(
-                jnp.where(state.buffer.cur_size > 0, 1.0, 1.0)
-            ) * 0 + 0.0,
+            mean_step_reward=jnp.mean(rew),
         )
         return state._replace(carry=carry, buffer=buf, rng=rng), metrics
 
