@@ -107,13 +107,22 @@ class VCritic:
         returns = prep(batch.returns)
         masks = prep(batch.masks)
 
-        perms = jax.vmap(lambda k: jax.random.permutation(k, M))(
-            jax.random.split(key, self.critic_epoch)
-        )
-        idx = perms.reshape(self.critic_epoch * self.num_mini_batch, mb_size)
+        # Single-minibatch epochs are permutation-invariant: skip the
+        # whole-batch random gather (dominant HBM cost at bench sizes).
+        single_mb = self.num_mini_batch == 1
+        if single_mb:
+            idx = jnp.zeros((self.critic_epoch, 1), jnp.int32)
+        else:
+            perms = jax.vmap(lambda k: jax.random.permutation(k, M))(
+                jax.random.split(key, self.critic_epoch)
+            )
+            idx = perms.reshape(self.critic_epoch * self.num_mini_batch, mb_size)
 
         def loss_fn(params, mb_idx, vn):
-            take = lambda x: jnp.take(x, mb_idx, axis=0)
+            if single_mb:
+                take = lambda x: x
+            else:
+                take = lambda x: jnp.take(x, mb_idx, axis=0)
             so, vp, ret = take(share_obs), take(value_preds), take(returns)
             if self.use_recurrent_policy:
                 tm = lambda x: jnp.swapaxes(x, 0, 1)
@@ -131,7 +140,7 @@ class VCritic:
         def minibatch_step(carry, mb_idx):
             st, vn = carry
             if vn is not None:  # reference updates normalizer per minibatch (:93-96)
-                ret = jnp.take(returns, mb_idx, axis=0)
+                ret = returns if single_mb else jnp.take(returns, mb_idx, axis=0)
                 vn = update_value_norm(vn, ret)
             (_, loss), grads = grad_fn(st.params, mb_idx, vn)
             gnorm = global_grad_norm(grads)

@@ -145,14 +145,24 @@ class HAPPOActor:
         adv = prep(advantages)
         fac = prep(factor)
 
-        # epoch-wise shuffles stacked into one index tensor
-        perms = jax.vmap(lambda k: jax.random.permutation(k, M))(
-            jax.random.split(key, self.ppo_epoch)
-        )  # (E, M)
-        idx = perms.reshape(self.ppo_epoch * self.num_mini_batch, mb_size)
+        # Epoch-wise shuffles stacked into one index tensor. With a single
+        # minibatch the full-batch gradient is permutation-invariant, so the
+        # whole-batch random gather (the dominant HBM cost of the update at
+        # bench sizes) is skipped entirely.
+        single_mb = self.num_mini_batch == 1
+        if single_mb:
+            idx = jnp.zeros((self.ppo_epoch, 1), jnp.int32)  # scan ticker only
+        else:
+            perms = jax.vmap(lambda k: jax.random.permutation(k, M))(
+                jax.random.split(key, self.ppo_epoch)
+            )  # (E, M)
+            idx = perms.reshape(self.ppo_epoch * self.num_mini_batch, mb_size)
 
         def loss_fn(params, mb_idx):
-            take = lambda x: jnp.take(x, mb_idx, axis=0)
+            if single_mb:
+                take = lambda x: x
+            else:
+                take = lambda x: jnp.take(x, mb_idx, axis=0)
             o, a, olp, am, ad, fc = map(take, (obs, actions, old_logp, active, adv, fac))
             av = None if avail is None else take(avail)
             if self.use_recurrent_policy:

@@ -258,6 +258,24 @@ HOPPER = RobotSpec(
 SPECS = {"HalfCheetah": HALF_CHEETAH, "Walker2d": WALKER2D, "Hopper": HOPPER}
 
 
+def _gauss_solve_batched(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batch-minor Gauss–Jordan: A (n, n, B), b (n, B) → x (n, B).
+
+    Same unrolled elimination as ``_gauss_solve`` but with the batch on the
+    minor (lane) axis so every rank-1 update is a dense (n, B) vector op."""
+    n = A.shape[0]
+    for j in range(n):
+        inv = 1.0 / A[j, j]                     # (B,)
+        pivot_row = A[j] * inv                  # (n, B)
+        pivot_b = b[j] * inv                    # (B,)
+        factor = A[:, j].at[j].set(0.0)         # (n, B)
+        A = A - factor[:, None, :] * pivot_row[None, :, :]
+        A = A.at[j].set(pivot_row)
+        b = b - factor * pivot_b[None, :]
+        b = b.at[j].set(pivot_b)
+    return b
+
+
 def _gauss_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = b for small SPD A by UNROLLED Gauss–Jordan elimination.
 
@@ -346,6 +364,34 @@ class PlanarDynamics:
             np.concatenate([np.full(3, np.inf), jr[:, 1]]), jnp.float32)
         self.gears = jnp.asarray(spec.gears, jnp.float32)
 
+        # ---- analytic-kinematics term table --------------------------------
+        # Every body origin decomposes into root + Σ_t A[b,t]·R(ang_{tb_t})·V_t
+        # (each body b>0 contributes the two terms of _frames:365:
+        # +R(ang_p)(bp+jp) and −R(ang_b)(jp), inherited by all descendants).
+        # This gives closed-form jacobians and Coriolis terms as small einsums
+        # — no autodiff in the dynamics hot path.
+        nT = max(2 * (B - 1), 1)
+        A = np.zeros((B, nT), np.float32)
+        tb = np.zeros(nT, np.int64)
+        V = np.zeros((nT, 2), np.float32)
+        for b in range(1, B):
+            p = spec.parents[b]
+            t1, t2 = 2 * (b - 1), 2 * (b - 1) + 1
+            tb[t1] = p
+            V[t1] = np.asarray(spec.body_pos[b]) + np.asarray(spec.joint_pos[b])
+            tb[t2] = b
+            V[t2] = -np.asarray(spec.joint_pos[b])
+            A[b] = A[p]
+            A[b, t1] = 1.0
+            A[b, t2] = 1.0
+        self.kin_A = jnp.asarray(A)
+        self.kin_tb = jnp.asarray(tb)
+        self.kin_V = jnp.asarray(V)
+        self.kin_Gt = jnp.asarray(np.asarray(G)[tb], jnp.float32)     # (T, dof)
+        cb = np.asarray(bodies)
+        self.kin_cb = jnp.asarray(cb)
+        self.kin_Gc = jnp.asarray(np.asarray(G)[cb], jnp.float32)     # (C, dof)
+
     # ------------------------------------------------------------ kinematics
     def _frames(self, q):
         """World origins (B,2) and absolute angles (B,) of every body frame."""
@@ -382,22 +428,62 @@ class PlanarDynamics:
         pz = -s * self.cpts[:, 0] + c * self.cpts[:, 1]
         return origins[b] + jnp.stack([px, pz], axis=1)  # (C, 2)
 
+    # ------------------------------------------------- analytic kinematics
+    def _kin_analytic(self, q, qd):
+        """Closed-form COM/contact positions, jacobians and Coriolis
+        accelerations for the planar chain.
+
+        With origin_b = root + Σ_t A[b,t]·R(ang_t)·V_t and ang linear in q
+        (ang = G_ang·q), the jacobian of each rotated term is
+        (dR/dang·V) ⊗ G_ang[term_body] and its second directional derivative
+        along q̇ is −R·V·ω² — everything reduces to small einsums over
+        (bodies, terms, dof). Replaces jacfwd/jvp in the hot substep;
+        validated against the autodiff formulation in tests/test_planar.py.
+
+        Returns (Jc (B,2,dof), Cc (B,2), cpos (C,2), Jp (C,2,dof)).
+        """
+        ang = self.G_ang @ q
+        w = self.G_ang @ qd
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        ct, st, wt = c[self.kin_tb], s[self.kin_tb], w[self.kin_tb]   # (T,)
+        vx, vz = self.kin_V[:, 0], self.kin_V[:, 1]
+        rot = jnp.stack([ct * vx + st * vz, -st * vx + ct * vz], -1)   # (T,2)
+        drot = jnp.stack([-st * vx + ct * vz, -ct * vx - st * vz], -1)
+        Jo = jnp.einsum("bt,tc,tj->bcj", self.kin_A, drot, self.kin_Gt)
+        Jo = Jo.at[:, 0, 0].add(1.0).at[:, 1, 1].add(1.0)             # root x/z
+        Co = -jnp.einsum("bt,tc->bc", self.kin_A, rot * (wt ** 2)[:, None])
+        root = jnp.stack([q[0], q[1] + self.spec.z_off])
+        origins = root[None, :] + self.kin_A @ rot                     # (B,2)
+        # body COMs: own rotated offset on top of the origin
+        rx, rz = self.coms[:, 0], self.coms[:, 1]
+        drc = jnp.stack([-s * rx + c * rz, -c * rx - s * rz], -1)
+        rc = jnp.stack([c * rx + s * rz, -s * rx + c * rz], -1)
+        Jc = Jo + jnp.einsum("bc,bj->bcj", drc, self.G_ang)
+        Cc = Co - rc * (w ** 2)[:, None]
+        # contact spheres
+        cb = self.kin_cb
+        px, pz = self.cpts[:, 0], self.cpts[:, 1]
+        cc, sc = c[cb], s[cb]
+        rp = jnp.stack([cc * px + sc * pz, -sc * px + cc * pz], -1)
+        drp = jnp.stack([-sc * px + cc * pz, -cc * px - sc * pz], -1)
+        cpos = origins[cb] + rp
+        Jp = Jo[cb] + jnp.einsum("pc,pj->pcj", drp, self.kin_Gc)
+        return Jc, Cc, cpos, Jp
+
     # -------------------------------------------------------------- substep
     def _substep(self, q, qd, tau):
         spec = self.spec
         dt = spec.dt
         dof = spec.dof
 
-        Jc = jax.jacfwd(self._coms)(q)                       # (B, 2, dof)
+        # closed-form kinematics: jacobians + Coriolis without autodiff
+        Jc, Cc, p, Jp = self._kin_analytic(q, qd)
         # mass matrix
         M = jnp.einsum("b,bci,bcj->ij", self.masses, Jc, Jc)
         M = M + jnp.einsum("b,bi,bj->ij", self.inertias, self.G_ang, self.G_ang)
         M = M + jnp.diag(self.armature) + 1e-9 * jnp.eye(dof)
         # coriolis: Σ m Jᵀ (∂(J q̇)/∂q) q̇   (angle rows are linear in q → 0)
-        dJv = jax.jacfwd(lambda qq: jnp.einsum(
-            "bcj,j->bc", jax.jacfwd(self._coms)(qq), qd))(q)  # (B, 2, dof)
-        corio = jnp.einsum("b,bci,bc->i", self.masses, Jc,
-                           jnp.einsum("bcj,j->bc", dJv, qd))
+        corio = jnp.einsum("b,bci,bc->i", self.masses, Jc, Cc)
         # gravity
         Q = -GRAVITY * jnp.einsum("b,bi->i", self.masses, Jc[:, 1, :])
         # actuators + joint springs + joint limits (explicit)
@@ -408,9 +494,7 @@ class PlanarDynamics:
         Q = Q - spec.limit_stiffness * over
         # implicit damping matrix: joints + limit dampers
         D = jnp.diag(self.joint_damp + spec.limit_damping * outside)
-        # contacts
-        Jp = jax.jacfwd(self._contact_pos)(q)                # (C, 2, dof)
-        p = self._contact_pos(q)                             # (C, 2)
+        # contacts (p and Jp from the analytic kinematics above)
         v = jnp.einsum("pcj,j->pc", Jp, qd)                  # (C, 2)
         pen = jnp.maximum(self.crad - p[:, 1], 0.0)          # penetration ≥ 0
         active = (pen > 0.0).astype(q.dtype)
@@ -429,12 +513,88 @@ class PlanarDynamics:
         qd_new = jnp.clip(qd_new, -100.0, 100.0)
         return q + dt * qd_new, qd_new
 
-    def physics_step(self, q, qd, actions):
-        """frame_skip substeps; actions in [-1, 1] per joint."""
+    # --------------------------------------------------- batch-minor layout
+    # NOTE: measured on v5e, dispatching VecEnv's vmap to this batch-minor
+    # ((…, B)) formulation via jax.custom_batching was ~12% SLOWER than the
+    # per-env vmapped path — XLA's layout assignment already handles the
+    # small-minor-dim intermediates. Kept (with parity tests) as the basis for
+    # a future fully-fused Pallas substep kernel; not wired into physics_step.
+    def _kin_analytic_b(self, q, qd):
+        """Batch-minor twin of ``_kin_analytic``: q, qd (dof, B)."""
+        ang = self.G_ang @ q                 # (Bo, B)
+        w = self.G_ang @ qd
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        ct, st, wt = c[self.kin_tb], s[self.kin_tb], w[self.kin_tb]   # (T, B)
+        vx = self.kin_V[:, 0:1]
+        vz = self.kin_V[:, 1:2]
+        rot = jnp.stack([ct * vx + st * vz, -st * vx + ct * vz], 1)    # (T,2,B)
+        drot = jnp.stack([-st * vx + ct * vz, -ct * vx - st * vz], 1)
+        Jo = jnp.einsum("bt,tcx,tj->bcjx", self.kin_A, drot, self.kin_Gt)
+        Jo = Jo.at[:, 0, 0].add(1.0).at[:, 1, 1].add(1.0)
+        Co = -jnp.einsum("bt,tcx->bcx", self.kin_A, rot * (wt ** 2)[:, None])
+        root = jnp.stack([q[0], q[1] + self.spec.z_off])               # (2, B)
+        origins = root[None] + jnp.einsum("bt,tcx->bcx", self.kin_A, rot)
+        rx = self.coms[:, 0:1]
+        rz = self.coms[:, 1:2]
+        rc = jnp.stack([c * rx + s * rz, -s * rx + c * rz], 1)          # (Bo,2,B)
+        drc = jnp.stack([-s * rx + c * rz, -c * rx - s * rz], 1)
+        Jc = Jo + jnp.einsum("bcx,bj->bcjx", drc, self.G_ang)
+        Cc = Co - rc * (w ** 2)[:, None]
+        cb = self.kin_cb
+        px = self.cpts[:, 0:1]
+        pz = self.cpts[:, 1:2]
+        cc, sc = c[cb], s[cb]
+        rp = jnp.stack([cc * px + sc * pz, -sc * px + cc * pz], 1)      # (C,2,B)
+        drp = jnp.stack([-sc * px + cc * pz, -cc * px - sc * pz], 1)
+        cpos = origins[cb] + rp
+        Jp = Jo[cb] + jnp.einsum("pcx,pj->pcjx", drp, self.kin_Gc)
+        return Jc, Cc, cpos, Jp
+
+    def _substep_b(self, q, qd, tau):
+        """Batch-minor twin of ``_substep``: q, qd (dof, B), tau (n_joints, B)."""
+        spec = self.spec
+        dt = spec.dt
+        dof = spec.dof
+        Jc, Cc, p, Jp = self._kin_analytic_b(q, qd)
+        M = jnp.einsum("b,bcix,bcjx->ijx", self.masses, Jc, Jc)
+        M = M + (
+            jnp.einsum("b,bi,bj->ij", self.inertias, self.G_ang, self.G_ang)
+            + jnp.diag(self.armature) + 1e-9 * jnp.eye(dof)
+        )[..., None]
+        corio = jnp.einsum("b,bcix,bcx->ix", self.masses, Jc, Cc)
+        Q = -GRAVITY * jnp.einsum("b,bix->ix", self.masses, Jc[:, 1])
+        Q = Q.at[3:].add(self.gears[:, None] * tau)
+        Q = Q - self.joint_stiff[:, None] * q
+        over = jnp.maximum(q - self.q_hi[:, None], 0.0) - jnp.maximum(
+            self.q_lo[:, None] - q, 0.0)
+        outside = (over != 0.0).astype(q.dtype)
+        Q = Q - spec.limit_stiffness * over
+        D = jnp.eye(dof)[..., None] * (
+            self.joint_damp[:, None] + spec.limit_damping * outside)[None]
+        v = jnp.einsum("pcjx,jx->pcx", Jp, qd)
+        pen = jnp.maximum(self.crad[:, None] - p[:, 1], 0.0)            # (C, B)
+        active = (pen > 0.0).astype(q.dtype)
+        N = spec.contact_stiffness * pen
+        Q = Q + jnp.einsum("px,pjx->jx", N, Jp[:, 1])
+        D = D + spec.contact_damping * jnp.einsum(
+            "px,pix,pjx->ijx", active, Jp[:, 1], Jp[:, 1])
+        ct = self.cmu[:, None] * N / (jnp.abs(v[:, 0]) + spec.friction_vreg)
+        D = D + jnp.einsum("px,pix,pjx->ijx", ct, Jp[:, 0], Jp[:, 0])
+        rhs = jnp.einsum("ijx,jx->ix", M, qd) + dt * (Q - corio)
+        A = M + dt * D
+        qd_new = _gauss_solve_batched(A, rhs)
+        qd_new = jnp.clip(qd_new, -100.0, 100.0)
+        return q + dt * qd_new, qd_new
+
+    def _physics_step_impl(self, q, qd, actions):
         tau = jnp.clip(actions, -1.0, 1.0)
         for _ in range(self.spec.frame_skip):
             q, qd = self._substep(q, qd, tau)
         return q, qd
+
+    def physics_step(self, q, qd, actions):
+        """frame_skip substeps; actions in [-1, 1] per joint."""
+        return self._physics_step_impl(q, qd, actions)
 
 
 # ============================================================ the MARL env

@@ -22,6 +22,7 @@ def compute_gae(
     bad_masks: Optional[jnp.ndarray],  # (T+1, ...) — 0 at truncation; None ⇒ no proper-time-limits
     gamma: float,
     gae_lambda: float,
+    impl: str = "scan",
 ) -> jnp.ndarray:
     """GAE returns (= gae + V), matching on_policy_critic_buffer_ep.py:107-139,168-190.
 
@@ -29,8 +30,36 @@ def compute_gae(
     gae_t   = delta_t + γλ·m_{t+1}·gae_{t+1}            (gae_{T}=0)
     gae_t  *= bad_m_{t+1}                                (iff proper time limits)
     ret_t   = gae_t + V_t
+
+    ``impl="pallas"`` dispatches to the fused single-launch TPU kernel
+    (ops/pallas_gae.py); ``"scan"`` is the portable reverse ``lax.scan``.
     """
+    if impl == "pallas":
+        from harl_tpu.ops.pallas_gae import gae_pallas
+
+        return gae_pallas(rewards, values, masks, bad_masks, gamma, gae_lambda)
     v_next = values[1:]
+    if impl == "assoc":
+        # The recursion is a linear recurrence gae_t = a_t·gae_{t+1} + b_t with
+        #   a_t = γλ·m_{t+1}·bad_{t+1},  b_t = bad_{t+1}·delta_t
+        # so a log-depth parallel prefix (associative_scan over large vector
+        # ops) replaces the T-step sequential loop — the TPU-native form.
+        m_next = masks[1:]
+        deltas = rewards + gamma * v_next * m_next - values[:-1]
+        bm = jnp.ones_like(m_next) if bad_masks is None else bad_masks[1:]
+        a = (gamma * gae_lambda) * m_next * bm
+        b = bm * deltas
+
+        def combine(x, y):
+            # compose affine maps: y∘x (x is the accumulated earlier prefix)
+            ax, bx = x
+            ay, by = y
+            return ax * ay, ay * bx + by
+
+        # reverse-time prefix: flip so the "previous" element is t+1
+        a_r, b_r = jnp.flip(a, 0), jnp.flip(b, 0)
+        _, gaes_r = jax.lax.associative_scan(combine, (a_r, b_r), axis=0)
+        return jnp.flip(gaes_r, 0) + values[:-1]
     v_cur = values[:-1]
     m_next = masks[1:]
     deltas = rewards + gamma * v_next * m_next - v_cur
@@ -56,11 +85,37 @@ def compute_discounted_returns(
     bad_masks: Optional[jnp.ndarray],
     next_value: jnp.ndarray,    # (...)
     gamma: float,
+    impl: str = "scan",
 ) -> jnp.ndarray:
     """Discounted returns without GAE (on_policy_critic_buffer_ep.py:140-166,191-200).
 
     ret_t = (ret_{t+1}·γ·m_{t+1} + r_t)·bad_m_{t+1} + (1−bad_m_{t+1})·V_t
     """
+    if impl == "pallas":
+        from harl_tpu.ops.pallas_gae import discounted_returns_pallas
+
+        return discounted_returns_pallas(
+            rewards, values, masks, bad_masks, next_value, gamma
+        )
+    if impl == "assoc":
+        # linear recurrence ret_t = a_t·ret_{t+1} + b_t with
+        #   a_t = γ·m_{t+1}·bad_{t+1},  b_t = r_t·bad_{t+1} + (1−bad_{t+1})·V_t
+        # bootstrap folded into b at t=T−1; log-depth parallel prefix.
+        m_next = masks[1:]
+        bm = jnp.ones_like(m_next) if bad_masks is None else bad_masks[1:]
+        v_cur = values[:-1]
+        a = gamma * m_next * bm
+        b = rewards * bm + (1.0 - bm) * v_cur
+        b = b.at[-1].add(a[-1] * next_value)
+
+        def combine(x, y):
+            ax, bx = x
+            ay, by = y
+            return ax * ay, ay * bx + by
+
+        a_r, b_r = jnp.flip(a, 0), jnp.flip(b, 0)
+        _, rets_r = jax.lax.associative_scan(combine, (a_r, b_r), axis=0)
+        return jnp.flip(rets_r, 0)
     m_next = masks[1:]
     if bad_masks is not None:
         bm_next = bad_masks[1:]

@@ -88,6 +88,14 @@ class OnPolicyRunner:
         self.use_proper_time_limits = tr.get("use_proper_time_limits", True)
 
         al = algo_args["algo"]
+        # Fused single-launch Pallas kernel for the GAE/return recursion on
+        # TPU (ops/pallas_gae.py); scan fallback on CPU and under GSPMD
+        # sharding (run(mesh=...) downgrades this to "scan").
+        self.returns_impl = (
+            "pallas"
+            if tr.get("use_pallas_returns", jax.default_backend() == "tpu")
+            else "scan"
+        )
         self.use_gae = al.get("use_gae", True)
         self.gamma = al.get("gamma", 0.99)
         self.gae_lambda = al.get("gae_lambda", 0.95)
@@ -414,13 +422,13 @@ class OnPolicyRunner:
             returns = compute_gae(
                 data["reward"], values_den, masks_tb,
                 bad_tb if self.use_proper_time_limits else None,
-                self.gamma, self.gae_lambda,
+                self.gamma, self.gae_lambda, impl=self.returns_impl,
             )
         else:
             returns = compute_discounted_returns(
                 data["reward"], values_den, masks_tb,
                 bad_tb if self.use_proper_time_limits else None,
-                values_den[-1], self.gamma,
+                values_den[-1], self.gamma, impl=self.returns_impl,
             )
         advantages = returns - values_den[:-1]  # EP (T,B,1); FP (T,B,N,1)
         if self.state_type == "FP":
@@ -529,7 +537,17 @@ class OnPolicyRunner:
                 si = self._sidx(i)
                 st = astates[si]
                 if self.factor_chain:
-                    old_logp = self.actors[i].evaluate_logp(st.params, batches[i])
+                    if self.share_param:
+                        # shared params already moved by earlier agents in the
+                        # order — must re-evaluate (on_policy_ha_runner.py:66-83)
+                        old_logp = self.actors[i].evaluate_logp(st.params, batches[i])
+                    else:
+                        # pre-update params are exactly the rollout params, so
+                        # the stored behavior log-probs ARE the old log-probs:
+                        # skip one full-batch forward per agent
+                        old_logp = batches[i].logp.reshape(
+                            (-1,) + batches[i].logp.shape[2:]
+                        )
                 adv_i = (
                     advantages[:, :, i]
                     if self.state_type == "FP"
@@ -915,6 +933,8 @@ class OnPolicyRunner:
             from harl_tpu.parallel.mesh import shard_train_state
 
             state = shard_train_state(state, mesh, self.n_rollout_threads)
+            # pallas_call does not partition under sharding propagation
+            self.returns_impl = "scan"
         steps_per_iter = self.episode_length * self.n_rollout_threads
         tr = self.algo_args["train"]
         ev = self.algo_args.get("eval", {})
