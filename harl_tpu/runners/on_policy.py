@@ -933,8 +933,9 @@ class OnPolicyRunner:
             from harl_tpu.parallel.mesh import shard_train_state
 
             state = shard_train_state(state, mesh, self.n_rollout_threads)
-            # pallas_call does not partition under sharding propagation
-            self.returns_impl = "scan"
+            # pallas_call does not partition under sharding propagation; the
+            # associative-scan form is elementwise over batch and shards fine
+            self.returns_impl = "assoc"
         steps_per_iter = self.episode_length * self.n_rollout_threads
         tr = self.algo_args["train"]
         ev = self.algo_args.get("eval", {})
