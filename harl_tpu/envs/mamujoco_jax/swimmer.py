@@ -128,12 +128,14 @@ class ManyAgentSwimmer:
         I_link = LINK_MASS * LINK_LEN ** 2 / 12.0
         M = M.at[2:, 2:].add(I_link * jnp.eye(L))
         M = M + 1e-6 * jnp.eye(L + 2)
-        # Coriolis term: h = m Jᵀ (∂(Jq̇)/∂q) q̇
-        dJv = jax.jacfwd(lambda qq: jnp.einsum(
-            "lcj,j->lc", jax.jacfwd(centers_fn)(qq), qd))(q)   # (L, 2, L+2)
-        corio = LINK_MASS * jnp.einsum(
-            "lcj,lc->j", J, jnp.einsum("lcj,j->lc", dJv, qd)
-        )
+        # Coriolis term: h = m Jᵀ (∂(Jq̇)/∂q) q̇. The inner contraction is a
+        # second-order directional derivative along q̇ — two nested JVPs
+        # (O(1) extra evaluations) instead of O(dof²) jacfwd-of-jacfwd,
+        # which matters for many-agent swimmers with dozens of links.
+        dJv_qd = jax.jvp(
+            lambda qq: jax.jvp(centers_fn, (qq,), (qd,))[1], (q,), (qd,)
+        )[1]                                                   # (L, 2)
+        corio = LINK_MASS * jnp.einsum("lcj,lc->j", J, dJv_qd)
         rhs = M @ qd + dt * (Q - corio)
         qd_new = jnp.linalg.solve(M + dt * G, rhs)
         qd_new = jnp.clip(qd_new, -JOINT_LIMIT, JOINT_LIMIT)
