@@ -75,11 +75,5 @@ def make_env(env_name: str, env_args: dict):
     if env_name in ("dexhands", "dexhands_jax"):
         from harl_tpu.envs.dexhands_jax.handover import make_handover
 
-        task = env_args.get("task", "ShadowHandOver")
-        if task != "ShadowHandOver":
-            raise NotImplementedError(
-                f"dexhands_jax task {task!r}: only the ShadowHandOver-class "
-                "hand-over task has a pure-JAX implementation so far."
-            )
         return make_handover(env_args)
     raise ValueError(f"Unknown env {env_name!r}")

@@ -1,30 +1,41 @@
-"""Pure-JAX ShadowHandOver-class task: the TPU-native Bi-DexterousHands analogue.
+"""Pure-JAX Bi-DexterousHands task family: the TPU-native dexhands analogue.
 
 Reference counterpart: ``harl/envs/dexhands/dexhands_env.py`` +
-``DexterousHands/bidexhands/tasks/shadow_hand_over.py`` — an IsaacGym task
-where two fixed-base Shadow Hands face each other and agent 0 must toss an
-object into agent 1's grasp, with per-hand observation views sliced from one
-batched obs buffer (``tasks/hand_base/multi_vec_task.py:164-240``) and envs
-batched on the accelerator.
+``DexterousHands/bidexhands/tasks/shadow_hand_*.py`` — IsaacGym tasks where
+two Shadow Hands manipulate free objects, with per-hand observation views
+sliced from one batched obs buffer (``tasks/hand_base/multi_vec_task.py:164-240``)
+and envs batched on the accelerator.
 
 This is a from-scratch re-design for TPU, not a physics port: IsaacGym's PhysX
 hands (24-DoF tendon-driven) are replaced by a differentiable simplified hand —
 5 fingers x 4 servo-driven joints (abduction + 3 flexion), fingertip positions
-by forward kinematics, velocities by jvp — interacting with a free rigid
-sphere-inertia object through penalty contacts (spring + damping + regularized
+by forward kinematics, velocities by jvp — interacting with free rigid
+sphere-inertia objects through penalty contacts (spring + damping + regularized
 Coulomb friction), everything batched under vmap+jit like the rest of
 ``envs/mamujoco_jax``. What is preserved is the TASK AND INTERFACE CONTRACT:
 
   * 2 heterogeneous agents, each a Box(-1,1,20) action space (the reference's
     20 actuated DoF per hand);
   * per-agent obs views + a shared global state (EP);
-  * hand 0 palm-up below, hand 1 palm-down above; the object spawns resting on
-    hand 0's palm; a random goal pose sits in hand 1's grasp region;
-  * reward = distance + orientation shaping toward the goal pose with a
-    success bonus and a drop penalty (shadow_hand_over.py reward structure);
+  * reward = distance + orientation shaping toward a goal pose with a success
+    bonus and a drop penalty (shadow_hand_over.py reward structure);
   * episodes end on success / drop / ``episode_length`` timeout — the
     "always done" batched-env pattern the dexhands logger special-cases
     (``dexhands_logger.py``).
+
+The IsaacGym catch family maps to one parametrized layout (hand poses +
+object/goal placement + object count):
+
+  * ``ShadowHandOver``            — palm-up below, palm-down above; toss up
+    (``tasks/shadow_hand_over.py``).
+  * ``ShadowHandCatchUnderarm``   — two palm-up hands facing each other;
+    lob across the gap (``tasks/shadow_hand_catch_underarm.py``).
+  * ``ShadowHandCatchOver2Underarm`` — palm-down above drops/guides into a
+    palm-up catcher (``tasks/shadow_hand_catch_over2underarm.py``).
+  * ``ShadowHandCatchAbreast``    — hands abreast, lateral toss
+    (``tasks/shadow_hand_catch_abreast.py``; approximated palm-up).
+  * ``ShadowHandTwoCatchUnderarm`` — both hands each toss an object to the
+    other simultaneously (``tasks/shadow_hand_two_catch_underarm.py``).
 """
 from __future__ import annotations
 
@@ -56,8 +67,6 @@ OBJ_MASS = 0.08
 OBJ_INERTIA = 0.4 * OBJ_MASS * OBJ_RADIUS ** 2   # solid sphere
 GRAVITY = 9.81
 PALM_HALF = 0.07                           # palm half-extent (square pad)
-HAND0_POS = np.array([0.0, 0.0, 0.0])      # palm-up, at origin
-HAND1_POS = np.array([0.0, 0.0, 0.24])     # palm-down, above
 CONTACT_K = 1500.0
 CONTACT_D = 8.0
 FRICTION_MU = 1.0
@@ -66,44 +75,43 @@ DT = 1.0 / 240.0
 SUBSTEPS = 4                               # control at 60 Hz
 
 SUCCESS_DIST = 0.05
-DROP_Z = -0.08
 
 
 class HandOverState(NamedTuple):
     theta: jnp.ndarray     # (2, 20) joint angles
     theta_t: jnp.ndarray   # (2, 20) servo targets
-    obj_pos: jnp.ndarray   # (3,)
-    obj_quat: jnp.ndarray  # (4,) wxyz
-    obj_vel: jnp.ndarray   # (3,)
-    obj_omg: jnp.ndarray   # (3,)
-    goal_pos: jnp.ndarray  # (3,)
-    goal_quat: jnp.ndarray  # (4,)
+    obj_pos: jnp.ndarray   # (n_obj, 3)
+    obj_quat: jnp.ndarray  # (n_obj, 4) wxyz
+    obj_vel: jnp.ndarray   # (n_obj, 3)
+    obj_omg: jnp.ndarray   # (n_obj, 3)
+    goal_pos: jnp.ndarray  # (n_obj, 3)
+    goal_quat: jnp.ndarray  # (n_obj, 4)
     t: jnp.ndarray         # () int32
 
 
-def _fingertips(theta: jnp.ndarray, hand: int) -> jnp.ndarray:
+def _fingertips(theta: jnp.ndarray, base_pos, fwd: float, up: float
+                ) -> jnp.ndarray:
     """(5, 3) world fingertip positions for one hand.
 
-    Palm-up (hand 0): fingers extend in +y, curl toward +z.
-    Palm-down (hand 1): mirrored (extend in -y, curl toward -z).
+    ``fwd`` = finger extension direction along y (+1/-1); ``up`` = palm
+    normal / curl direction along z (+1 palm-up, -1 palm-down).
     """
     th = theta.reshape(N_FINGERS, 4)
     abduct = th[:, 0] * ABDUCT_RANGE
     flex = jnp.cumsum(jnp.clip(th[:, 1:], FLEX_LO, FLEX_HI), axis=1)  # (5, 3)
-    sign = 1.0 if hand == 0 else -1.0
     base = jnp.stack(
         [jnp.asarray(FINGER_BASE_X),
-         sign * jnp.asarray(FINGER_BASE_Y),
+         fwd * jnp.asarray(FINGER_BASE_Y),
          jnp.zeros(N_FINGERS)], axis=1)
-    base = base + jnp.asarray(HAND0_POS if hand == 0 else HAND1_POS)
+    base = base + jnp.asarray(base_pos)
     # in-palm-plane finger direction rotated by abduction about palm normal
     ca, sa = jnp.cos(abduct), jnp.sin(abduct)
-    dir_xy = jnp.stack([sa, sign * ca], axis=1)            # (5, 2)
+    dir_xy = jnp.stack([sa, fwd * ca], axis=1)             # (5, 2)
     # each segment: in-plane component shrinks with curl, normal grows
     seg_inplane = jnp.cos(flex) * SEG_LEN[None, :]          # (5, 3)
     seg_normal = jnp.sin(flex) * SEG_LEN[None, :]
     reach = jnp.sum(seg_inplane, axis=1)                    # (5,)
-    lift = sign * jnp.sum(seg_normal, axis=1)               # curl toward object
+    lift = up * jnp.sum(seg_normal, axis=1)                 # curl toward object
     tips = base + jnp.concatenate(
         [dir_xy * reach[:, None], lift[:, None]], axis=1)
     return tips
@@ -122,24 +130,65 @@ def _quat_mul(a, b):
 
 def _quat_angle(a, b):
     """Rotation angle between two unit quaternions."""
-    d = jnp.abs(jnp.sum(a * b))
+    d = jnp.abs(jnp.sum(a * b, axis=-1))
     return 2.0 * jnp.arccos(jnp.clip(d, -1.0, 1.0))
+
+
+# task layouts ---------------------------------------------------------------
+# (hand_pos[2], fwd[2], up[2], obj_start_hand[n_obj], goal_hand[n_obj])
+# obj starts resting on (palm-up) / hanging under (palm-down) its start hand;
+# each goal sits in the grasp region of its goal hand.
+_TASKS = {
+    "ShadowHandOver": dict(
+        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.0, 0.24)),
+        fwd=(1.0, -1.0), up=(1.0, -1.0),
+        obj_start_hand=(0,), goal_hand=(1,)),
+    "ShadowHandCatchUnderarm": dict(
+        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
+        fwd=(1.0, -1.0), up=(1.0, 1.0),
+        obj_start_hand=(0,), goal_hand=(1,)),
+    "ShadowHandCatchOver2Underarm": dict(
+        hand_pos=((0.0, 0.20, 0.30), (0.0, 0.0, 0.0)),
+        fwd=(-1.0, 1.0), up=(-1.0, 1.0),
+        obj_start_hand=(0,), goal_hand=(1,)),
+    # abreast: hands side by side in x, lateral toss (palm-up approximation
+    # of the reference's sideways palms)
+    "ShadowHandCatchAbreast": dict(
+        hand_pos=((-0.16, 0.0, 0.0), (0.16, 0.0, 0.0)),
+        fwd=(1.0, 1.0), up=(1.0, 1.0),
+        obj_start_hand=(0,), goal_hand=(1,)),
+    "ShadowHandTwoCatchUnderarm": dict(
+        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
+        fwd=(1.0, -1.0), up=(1.0, 1.0),
+        obj_start_hand=(0, 1), goal_hand=(1, 0)),
+}
+
+DEXHANDS_TASKS = tuple(_TASKS)
 
 
 @dataclasses.dataclass(frozen=True)
 class ShadowHandOver:
-    """2-agent hand-over task; agent h controls hand h's 20 joints."""
+    """2-agent bimanual manipulation; agent h controls hand h's 20 joints."""
 
+    task: str = "ShadowHandOver"
     episode_length: int = 75
     n_agents: int = 2
 
     @property
+    def _cfg(self):
+        return _TASKS[self.task]
+
+    @property
+    def n_objects(self) -> int:
+        return len(self._cfg["obj_start_hand"])
+
+    @property
     def obs_dim(self) -> int:
-        return 20 + 20 + 15 + 13 + 7 + 3   # 78
+        return 20 + 20 + 15 + self.n_objects * (13 + 7 + 3)
 
     @property
     def state_dim(self) -> int:
-        return 40 + 40 + 30 + 13 + 7 + 3   # 133
+        return 40 + 40 + 30 + self.n_objects * (13 + 7 + 3)
 
     @property
     def observation_space(self):
@@ -153,23 +202,44 @@ class ShadowHandOver:
     def action_space(self):
         return [spaces.Box.create(-1.0, 1.0, N_JOINTS)] * 2
 
+    def _hand(self, h: int):
+        c = self._cfg
+        return np.asarray(c["hand_pos"][h]), c["fwd"][h], c["up"][h]
+
+    @property
+    def _drop_z(self) -> float:
+        return min(p[2] for p in self._cfg["hand_pos"]) - 0.08
+
     # ------------------------------------------------------------------ api
     def reset(self, key) -> Tuple[HandOverState, TimeStep]:
-        k1, k2, k3 = jax.random.split(key, 3)
+        c = self._cfg
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         theta = jnp.zeros((2, N_JOINTS))
-        obj_pos = jnp.array([0.0, 0.045, OBJ_RADIUS + 0.002]) + \
-            0.01 * jax.random.normal(k1, (3,))
-        goal_pos = jnp.asarray(HAND1_POS) + jnp.array([0.0, -0.045, -0.06]) + \
-            0.01 * jax.random.normal(k2, (3,))
-        ax = jax.random.normal(k3, (3,))
-        ax = ax / (jnp.linalg.norm(ax) + 1e-8)
-        ang = jax.random.uniform(k3, (), minval=-np.pi, maxval=np.pi)
+        starts, goals = [], []
+        for o in range(self.n_objects):
+            pos, fwd, up = self._hand(c["obj_start_hand"][o])
+            # rest on a palm-up hand; hang just under a palm-down hand
+            starts.append(pos + np.array(
+                [0.0, fwd * 0.045, up * (OBJ_RADIUS + 0.002)]))
+            gpos, gfwd, gup = self._hand(c["goal_hand"][o])
+            goals.append(gpos + np.array([0.0, gfwd * 0.045, gup * 0.06]))
+        obj_pos = jnp.asarray(np.stack(starts)) + \
+            0.01 * jax.random.normal(k1, (self.n_objects, 3))
+        goal_pos = jnp.asarray(np.stack(goals)) + \
+            0.01 * jax.random.normal(k2, (self.n_objects, 3))
+        ax = jax.random.normal(k3, (self.n_objects, 3))
+        ax = ax / (jnp.linalg.norm(ax, axis=1, keepdims=True) + 1e-8)
+        ang = jax.random.uniform(
+            k4, (self.n_objects,), minval=-np.pi, maxval=np.pi)
         goal_quat = jnp.concatenate(
-            [jnp.cos(ang / 2)[None], jnp.sin(ang / 2) * ax])
+            [jnp.cos(ang / 2)[:, None], jnp.sin(ang / 2)[:, None] * ax],
+            axis=1)
+        eye_quat = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (self.n_objects, 1))
         state = HandOverState(
             theta=theta, theta_t=theta,
-            obj_pos=obj_pos, obj_quat=jnp.array([1.0, 0, 0, 0]),
-            obj_vel=jnp.zeros(3), obj_omg=jnp.zeros(3),
+            obj_pos=obj_pos, obj_quat=eye_quat,
+            obj_vel=jnp.zeros((self.n_objects, 3)),
+            obj_omg=jnp.zeros((self.n_objects, 3)),
             goal_pos=goal_pos, goal_quat=goal_quat,
             t=jnp.zeros((), jnp.int32))
         return state, self._timestep(state, jnp.zeros(()), jnp.zeros((), bool),
@@ -192,12 +262,12 @@ class ShadowHandOver:
             theta, obj_pos, obj_quat, obj_vel, obj_omg = self._substep(
                 theta, tgt, obj_pos, obj_quat, obj_vel, obj_omg)
 
-        dist = jnp.linalg.norm(obj_pos - state.goal_pos)
+        dist = jnp.linalg.norm(obj_pos - state.goal_pos, axis=1)  # (n_obj,)
         rot = _quat_angle(obj_quat, state.goal_quat)
-        success = dist < SUCCESS_DIST
-        dropped = obj_pos[2] < DROP_Z
+        success = jnp.all(dist < SUCCESS_DIST)
+        dropped = jnp.any(obj_pos[:, 2] < self._drop_z)
         # shadow_hand_over-style shaping: approach + orientation + bonuses
-        reward = (-2.0 * dist - 0.1 * rot
+        reward = (jnp.sum(-2.0 * dist - 0.1 * rot)
                   + 10.0 * success.astype(jnp.float32)
                   - 2.0 * dropped.astype(jnp.float32))
         new_t = state.t + 1
@@ -220,27 +290,38 @@ class ShadowHandOver:
              jnp.clip(new_theta.reshape(2, N_FINGERS, 4)[..., 1:],
                       FLEX_LO, FLEX_HI)], axis=-1).reshape(2, N_JOINTS))
 
-        force = jnp.array([0.0, 0.0, -OBJ_MASS * GRAVITY])
-        torque = jnp.zeros(3)
+        force = jnp.tile(jnp.array([[0.0, 0.0, -OBJ_MASS * GRAVITY]]),
+                         (self.n_objects, 1))
+        torque = jnp.zeros((self.n_objects, 3))
         for h in range(2):
+            pos, fwd, up = self._hand(h)
             tips, tips_v = jax.jvp(
-                lambda th: _fingertips(th, h), (new_theta[h],),
+                lambda th: _fingertips(th, pos, fwd, up), (new_theta[h],),
                 ((new_theta[h] - theta[h]) / DT,))
-            f, tq = self._tip_contacts(tips, tips_v, obj_pos, obj_vel, obj_omg)
+            f, tq = jax.vmap(
+                lambda p, v, w: self._tip_contacts(tips, tips_v, p, v, w)
+            )(obj_pos, obj_vel, obj_omg)
             force = force + f
             torque = torque + tq
-        # palm pads: planes z=0 (up) and z=HAND1 z (down), within palm extent
-        force, torque = self._palm_contact(
-            obj_pos, obj_vel, obj_omg, force, torque, 0)
-        force, torque = self._palm_contact(
-            obj_pos, obj_vel, obj_omg, force, torque, 1)
+            pf, pt = jax.vmap(
+                lambda p, v, w: self._palm_contact(p, v, w, pos, up)
+            )(obj_pos, obj_vel, obj_omg)
+            force = force + pf
+            torque = torque + pt
+        if self.n_objects == 2:
+            f01 = self._sphere_contact(obj_pos[0], obj_vel[0],
+                                       obj_pos[1], obj_vel[1])
+            force = force + jnp.stack([f01, -f01])
 
         new_vel = obj_vel + DT * force / OBJ_MASS
         new_pos = obj_pos + DT * new_vel
         new_omg = obj_omg + DT * torque / OBJ_INERTIA
-        dq = 0.5 * _quat_mul(jnp.concatenate([jnp.zeros(1), new_omg]), obj_quat)
+        dq = 0.5 * jax.vmap(
+            lambda w, q: _quat_mul(jnp.concatenate([jnp.zeros(1), w]), q)
+        )(new_omg, obj_quat)
         new_quat = obj_quat + DT * dq
-        new_quat = new_quat / (jnp.linalg.norm(new_quat) + 1e-8)
+        new_quat = new_quat / (
+            jnp.linalg.norm(new_quat, axis=1, keepdims=True) + 1e-8)
         return new_theta, new_pos, new_quat, new_vel, new_omg
 
     def _tip_contacts(self, tips, tips_v, obj_pos, obj_vel, obj_omg):
@@ -262,15 +343,14 @@ class ShadowHandOver:
         torque = jnp.sum(jnp.cross(rc, f), axis=0)
         return jnp.sum(f, axis=0), torque
 
-    def _palm_contact(self, obj_pos, obj_vel, obj_omg, force, torque, hand):
-        palm = jnp.asarray(HAND0_POS if hand == 0 else HAND1_POS)
-        sign = 1.0 if hand == 0 else -1.0                 # palm normal ±z
-        gap = sign * (obj_pos[2] - palm[2]) - OBJ_RADIUS
+    def _palm_contact(self, obj_pos, obj_vel, obj_omg, palm, up):
+        palm = jnp.asarray(palm)
+        gap = up * (obj_pos[2] - palm[2]) - OBJ_RADIUS
         inside = jnp.logical_and(
             jnp.abs(obj_pos[0] - palm[0]) < PALM_HALF + OBJ_RADIUS,
             jnp.abs(obj_pos[1] - palm[1]) < PALM_HALF + OBJ_RADIUS)
         pen = jnp.maximum(-gap, 0.0) * inside
-        n = jnp.array([0.0, 0.0, sign])
+        n = jnp.array([0.0, 0.0, up])
         rc = -OBJ_RADIUS * n
         v_c = obj_vel + jnp.cross(obj_omg, rc)
         vn = jnp.sum(v_c * n)
@@ -278,18 +358,32 @@ class ShadowHandOver:
         vt = v_c - vn * n
         ft = -FRICTION_MU * N * vt / (jnp.linalg.norm(vt) + FRICTION_VREG)
         f = N * n + ft
-        return force + f, torque + jnp.cross(rc, f)
+        return f, jnp.cross(rc, f)
+
+    def _sphere_contact(self, p0, v0, p1, v1):
+        """Penalty force on object 0 from object 1 (TwoCatch collisions)."""
+        d = p0 - p1
+        dist = jnp.linalg.norm(d) + 1e-8
+        n = d / dist
+        pen = jnp.maximum(2 * OBJ_RADIUS - dist, 0.0)
+        vn = jnp.sum((v0 - v1) * n)
+        N = jnp.maximum(CONTACT_K * pen - CONTACT_D * vn * (pen > 0), 0.0)
+        return N * n
 
     # ---------------------------------------------------------- observation
     def _timestep(self, state, reward, done, bad, success) -> TimeStep:
         theta_dot = jnp.clip(
             SERVO_GAIN * (state.theta_t - state.theta), -JOINT_VMAX, JOINT_VMAX)
-        tips0 = _fingertips(state.theta[0], 0).reshape(-1)
-        tips1 = _fingertips(state.theta[1], 1).reshape(-1)
+        p0, f0, u0 = self._hand(0)
+        p1, f1, u1 = self._hand(1)
+        tips0 = _fingertips(state.theta[0], p0, f0, u0).reshape(-1)
+        tips1 = _fingertips(state.theta[1], p1, f1, u1).reshape(-1)
         obj = jnp.concatenate(
-            [state.obj_pos, state.obj_quat, state.obj_vel, state.obj_omg])
-        goal = jnp.concatenate([state.goal_pos, state.goal_quat])
-        rel = state.goal_pos - state.obj_pos
+            [state.obj_pos, state.obj_quat, state.obj_vel, state.obj_omg],
+            axis=1).reshape(-1)
+        goal = jnp.concatenate([state.goal_pos, state.goal_quat],
+                               axis=1).reshape(-1)
+        rel = (state.goal_pos - state.obj_pos).reshape(-1)
         obs0 = jnp.concatenate(
             [state.theta[0], theta_dot[0], tips0, obj, goal, rel])
         obs1 = jnp.concatenate(
@@ -309,6 +403,11 @@ class ShadowHandOver:
 
 
 def make_handover(env_args: dict) -> ShadowHandOver:
+    task = env_args.get("task", "ShadowHandOver")
+    if task not in _TASKS:
+        raise NotImplementedError(
+            f"dexhands_jax task {task!r}: available tasks are {DEXHANDS_TASKS}")
     return ShadowHandOver(
+        task=task,
         episode_length=env_args.get("hands_episode_length",
                                     env_args.get("episode_limit", 75)))

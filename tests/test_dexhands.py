@@ -32,7 +32,7 @@ def test_object_rests_on_lower_palm():
     for _ in range(30):
         state, ts = step(state, jnp.zeros((2, 20)), key)
     # supported by palm contact: stays at ~OBJ_RADIUS above palm plane
-    assert 0.02 < float(state.obj_pos[2]) < 0.08
+    assert 0.02 < float(state.obj_pos[0, 2]) < 0.08
     assert not bool(ts.dones[0])
 
 
@@ -50,7 +50,7 @@ def test_drop_is_real_termination():
     env = make_handover({})
     state, _ = env.reset(jax.random.PRNGKey(0))
     # teleport the object off the palm so it free-falls
-    state = state._replace(obj_pos=jnp.array([0.5, 0.5, 0.0]))
+    state = state._replace(obj_pos=jnp.array([[0.5, 0.5, 0.0]]))
     step = jax.jit(env.step)
     key = jax.random.PRNGKey(0)
     done = False
@@ -74,8 +74,8 @@ def test_scoop_can_reach_goal_height():
     for i in range(40):
         a = a_curl if i >= 3 else jnp.zeros((2, 20))
         state, ts = step(state, a, key)
-        max_z = max(max_z, float(state.obj_pos[2]))
-    assert max_z > float(state.goal_pos[2])
+        max_z = max(max_z, float(state.obj_pos[0, 2]))
+    assert max_z > float(state.goal_pos[0, 2])
     assert np.all(np.isfinite(np.asarray(state.obj_pos)))
 
 
@@ -105,3 +105,55 @@ def test_happo_trains_on_handover():
     state = runner.init_state(0)
     state, metrics = runner._train_iteration(state)
     assert np.isfinite(float(metrics["value_loss"]))
+
+import pytest
+
+from harl_tpu.envs.dexhands_jax.handover import DEXHANDS_TASKS
+
+
+@pytest.mark.parametrize("task", DEXHANDS_TASKS)
+def test_task_family_spaces_and_finite_rollout(task):
+    env = make_handover({"task": task})
+    n_obj = env.n_objects
+    assert env.obs_dim == 55 + 23 * n_obj
+    assert env.state_dim == 110 + 23 * n_obj
+    state, ts = env.reset(jax.random.PRNGKey(1))
+    assert ts.obs.shape == (2, env.obs_dim)
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    for i in range(20):
+        a = 0.3 * jnp.sin(0.3 * i) * jnp.ones((2, 20))
+        state, ts = step(state, a, key)
+    assert bool(jnp.all(jnp.isfinite(ts.obs)))
+    assert bool(jnp.all(jnp.isfinite(state.obj_pos)))
+
+
+def test_two_catch_has_two_objects_with_crossed_goals():
+    env = make_handover({"task": "ShadowHandTwoCatchUnderarm"})
+    assert env.n_objects == 2
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    # object 0 starts near hand 0 (y~0), its goal is near hand 1 (y~0.4)
+    assert float(state.obj_pos[0, 1]) < 0.2 < float(state.goal_pos[0, 1])
+    assert float(state.obj_pos[1, 1]) > 0.2 > float(state.goal_pos[1, 1])
+
+
+def test_catch_underarm_object_rests_on_start_palm():
+    env = make_handover({"task": "ShadowHandCatchUnderarm"})
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    for _ in range(30):
+        state, ts = step(state, jnp.zeros((2, 20)), key)
+    assert 0.02 < float(state.obj_pos[0, 2]) < 0.08
+    assert not bool(ts.dones[0])
+
+
+def test_over2underarm_object_falls_toward_catcher():
+    env = make_handover({"task": "ShadowHandCatchOver2Underarm"})
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    z0 = float(state.obj_pos[0, 2])
+    step = jax.jit(env.step)
+    key = jax.random.PRNGKey(0)
+    for _ in range(10):
+        state, ts = step(state, jnp.zeros((2, 20)), key)
+    assert float(state.obj_pos[0, 2]) < z0  # gravity pulls it down
