@@ -36,6 +36,10 @@ def make_env(env_name: str, env_args: dict):
             from harl_tpu.envs.mamujoco_jax.swimmer import make_swimmer
 
             return make_swimmer(env_args)
+        if scenario == "coupled_half_cheetah":
+            from harl_tpu.envs.mamujoco_jax.coupled import make_coupled
+
+            return make_coupled(env_args)
         from harl_tpu.envs.mamujoco_jax.planar import make_planar
 
         return make_planar(env_args)

@@ -471,7 +471,10 @@ class PlanarDynamics:
         return Jc, Cc, cpos, Jp
 
     # -------------------------------------------------------------- substep
-    def _substep(self, q, qd, tau):
+    def _substep(self, q, qd, tau, root_force=None):
+        """One implicit-damping Euler substep. ``root_force`` (2,) is an
+        optional external force on the root body origin (x, z) — used by the
+        coupled_half_cheetah tendon (see ``coupled.py``)."""
         spec = self.spec
         dt = spec.dt
         dof = spec.dof
@@ -488,6 +491,8 @@ class PlanarDynamics:
         Q = -GRAVITY * jnp.einsum("b,bi->i", self.masses, Jc[:, 1, :])
         # actuators + joint springs + joint limits (explicit)
         Q = Q.at[3:].add(self.gears * tau)
+        if root_force is not None:
+            Q = Q.at[:2].add(root_force)
         Q = Q - self.joint_stiff * q
         over = jnp.maximum(q - self.q_hi, 0.0) - jnp.maximum(self.q_lo - q, 0.0)
         outside = (over != 0.0).astype(q.dtype)
