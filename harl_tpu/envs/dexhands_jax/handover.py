@@ -147,8 +147,11 @@ _TASKS = {
         hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
         fwd=(1.0, -1.0), up=(1.0, 1.0),
         obj_start_hand=(0,), goal_hand=(1,)),
+    # thrower y=0.12 puts the object's free-fall track (y≈0.075) inside the
+    # catcher's palm region (|y| < PALM_HALF + OBJ_RADIUS), matching the
+    # reference layout where the drop lands in the catch region
     "ShadowHandCatchOver2Underarm": dict(
-        hand_pos=((0.0, 0.20, 0.30), (0.0, 0.0, 0.0)),
+        hand_pos=((0.0, 0.12, 0.30), (0.0, 0.0, 0.0)),
         fwd=(-1.0, 1.0), up=(-1.0, 1.0),
         obj_start_hand=(0,), goal_hand=(1,)),
     # abreast: hands side by side in x, lateral toss (palm-up approximation
@@ -173,6 +176,7 @@ class ShadowHandOver:
     task: str = "ShadowHandOver"
     episode_length: int = 75
     n_agents: int = 2
+    metric_keys = ("won",)
 
     @property
     def _cfg(self):
@@ -361,7 +365,12 @@ class ShadowHandOver:
         return f, jnp.cross(rc, f)
 
     def _sphere_contact(self, p0, v0, p1, v1):
-        """Penalty force on object 0 from object 1 (TwoCatch collisions)."""
+        """Penalty force on object 0 from object 1 (TwoCatch collisions).
+
+        Deliberately frictionless and torque-free, unlike tip/palm contacts
+        (regularized Coulomb): the two flying objects touch only in brief
+        mid-air bounces where the normal impulse dominates; tangential
+        coupling there is negligible for task dynamics."""
         d = p0 - p1
         dist = jnp.linalg.norm(d) + 1e-8
         n = d / dist

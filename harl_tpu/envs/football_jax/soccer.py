@@ -94,6 +94,7 @@ class AcademySoccer:
     n_defenders: int = 2          # scripted, last one is the keeper
     episode_limit: int = 400
     rewards: str = "scoring,checkpoints"
+    metric_keys = ("won",)
 
     @property
     def obs_dim(self) -> int:

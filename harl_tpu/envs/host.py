@@ -16,13 +16,10 @@ action_space and seed(int).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
-
-class HostStep(Tuple):
-    pass
 
 
 class HostVecEnv:

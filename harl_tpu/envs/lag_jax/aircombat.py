@@ -73,6 +73,7 @@ class AirCombat:
     n_enemies: int = 2
     episode_limit: int = 500
     enemy_skill: float = 0.5   # scripted-AI turn-rate handicap (0..1)
+    metric_keys = ("won",)
 
     @property
     def n_agents(self) -> int:

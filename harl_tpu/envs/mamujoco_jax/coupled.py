@@ -96,6 +96,9 @@ class CoupledHalfCheetah:
         # tension > 0 pulls the torsos together
         tension = TENDON_STIFF * (length - TENDON_REST)
         tension = tension + LIMIT_STIFF * jnp.maximum(length - TENDON_LIMITS[1], 0.0)
+        # lower-limit branch kept for parity with the XML's range="1.5 3.5",
+        # but unreachable here: with constant TENDON_Y_SEP=2.0 the 3D length
+        # is always >= 2.0 > 1.5
         tension = tension - LIMIT_STIFF * jnp.maximum(TENDON_LIMITS[0] - length, 0.0)
         return -tension * d / length
 

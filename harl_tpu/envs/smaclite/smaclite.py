@@ -75,6 +75,7 @@ class SMACLite:
     state_type: str = "EP"     # EP | FP (selects share/agent state exposure)
     reward_scale: bool = True
     randomize_types: bool = False  # SMACv2-style per-episode unit types
+    metric_keys = ("won",)      # episode metrics emitted in TimeStep.metrics
 
     # ------------------------------------------------------------- metadata
     @property

@@ -151,9 +151,3 @@ def normalize_advantages_masked(advantages: jnp.ndarray, active_masks: jnp.ndarr
     mean, std = masked_mean_std(advantages, active_masks != 0)
     return (advantages - mean) / (std + 1e-5)
 
-
-def compute_nstep_target_indices(
-    idx: jnp.ndarray, n_step: int, stride: int, end_flag: jnp.ndarray
-) -> jnp.ndarray:
-    """Placeholder for off-policy n-step walk; implemented in buffers.off_policy."""
-    raise NotImplementedError

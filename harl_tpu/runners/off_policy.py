@@ -710,13 +710,17 @@ class OffPolicyRunner:
         return jax.lax.fori_loop(0, N, body, carry)
 
     # ------------------------------------------------------------------ eval
-    def eval_rollout(self, state: OffPolicyState, n_eval_envs: int):
+    def eval_rollout(self, state: OffPolicyState, n_eval_envs: int, round_idx=0):
+        """Deterministic eval over auto-reset envs, counting every completed
+        episode (off_policy_base_runner.py:516-639 semantics). Returns
+        ``(episode_return_sum, episode_count, metric_sums)``."""
         vec = VecEnv(self.env, n_eval_envs)
-        rng = jax.random.fold_in(state.rng, 31337)
+        rng = jax.random.fold_in(jax.random.fold_in(state.rng, 31337), round_idx)
         env_state, ets = vec.reset(rng)
+        metric_keys = sorted((getattr(self.env, "metric_keys", None) or ()))
 
         def step(carry, k):
-            env_state, obs, avail, ep_ret, alive = carry
+            env_state, obs, avail, ep_ret, ret_sum, cnt, msums = carry
             acts = []
             for i, actor in enumerate(self.actors):
                 obs_i = obs[:, i, : self.obs_dims[i]]
@@ -741,16 +745,53 @@ class OffPolicyRunner:
                 stacked = stacked.astype(jnp.int32)
             tr = vec.step(env_state, stacked, k)
             done_env = jnp.all(tr.ts.dones, axis=1)
-            ep_ret = ep_ret + jnp.mean(tr.final.rewards[:, :, 0], axis=1) * alive
-            alive = alive * (1.0 - done_env.astype(jnp.float32))
-            return (tr.state, tr.ts.obs, tr.ts.available_actions, ep_ret, alive), None
+            done_f = done_env.astype(jnp.float32)
+            ep_ret = ep_ret + jnp.mean(tr.final.rewards[:, :, 0], axis=1)
+            ret_sum = ret_sum + jnp.sum(ep_ret * done_f)
+            cnt = cnt + jnp.sum(done_f)
+            fm = tr.final.metrics or {}
+            msums = {
+                key: msums[key] + jnp.sum(fm[key] * done_f) for key in metric_keys
+            }
+            ep_ret = jnp.where(done_env, 0.0, ep_ret)
+            return (
+                tr.state, tr.ts.obs, tr.ts.available_actions, ep_ret,
+                ret_sum, cnt, msums,
+            ), None
 
         init = (env_state, ets.obs, ets.available_actions,
-                jnp.zeros((n_eval_envs,)), jnp.ones((n_eval_envs,)))
+                jnp.zeros((n_eval_envs,)), jnp.zeros(()), jnp.zeros(()),
+                {key: jnp.zeros(()) for key in metric_keys})
         final_carry, _ = jax.lax.scan(
-            step, init, jax.random.split(rng, getattr(self.env, "max_cycles", 25))
+            step, init, jax.random.split(rng, self._eval_len())
         )
-        return jnp.mean(final_carry[3])
+        return final_carry[4], final_carry[5], final_carry[6]
+
+    def evaluate(self, state, n_eval: int, eval_episodes: int):
+        """Jitted eval rounds until ``eval_episodes`` episodes completed."""
+        ret_sum, cnt = 0.0, 0.0
+        msums: dict = {}
+        max_rounds = max((eval_episodes + n_eval - 1) // n_eval, 1) * 4
+        for r in range(max_rounds):
+            rs, c, ms = jax.device_get(self._eval_fn(state, n_eval, r))
+            ret_sum += float(rs)
+            cnt += float(c)
+            for k, v in ms.items():
+                msums[k] = msums.get(k, 0.0) + float(v)
+            if cnt >= eval_episodes:
+                break
+        if cnt == 0:
+            return float("nan"), {}
+        return ret_sum / cnt, {k: v / cnt for k, v in msums.items()}
+
+    def _eval_len(self):
+        """True env horizon, decoupled from training bookkeeping."""
+        limit = (
+            getattr(self.env, "episode_limit", None)
+            or getattr(self.env, "max_cycles", None)
+            or getattr(self.env, "episode_length", None)
+        )
+        return int(limit) if limit else 1000
 
     # ----------------------------------------------------- host-env support
     def _host_steps(self, state: OffPolicyState, n_steps: int, explore: bool):
@@ -835,9 +876,13 @@ class OffPolicyRunner:
                 cat(per_agent["next_avail"][i]) for i in range(N)
             )
         buf = self._insert_jit(state.buffer, batch)
-        metrics = dict(episode_return_sum=jnp.asarray(emitted),
-                       episode_count=jnp.asarray(counts),
-                       mean_step_reward=jnp.asarray(0.0))
+        metrics = dict(
+            episode_return_sum=jnp.asarray(emitted),
+            episode_count=jnp.asarray(counts),
+            mean_step_reward=jnp.asarray(
+                float(np.mean(np.stack(rows["rewards"]))) if rows["rewards"] else 0.0
+            ),
+        )
         return state._replace(carry=carry, buffer=buf, rng=rng), metrics
 
     def host_eval(self, state, n_episodes: int = 10):
@@ -934,7 +979,13 @@ class OffPolicyRunner:
                     / (time.time() - t_start),
                 )
                 if use_eval:
-                    rec["eval_return"] = float(self._eval_fn(state, n_eval))
+                    eval_eps = self.algo_args.get("eval", {}).get(
+                        "eval_episodes", n_eval
+                    )
+                    eval_ret, extra = self.evaluate(state, n_eval, eval_eps)
+                    rec["eval_return"] = eval_ret
+                    for k, v in extra.items():
+                        rec["eval_win_rate" if k == "won" else f"eval_{k}"] = v
                 history.append(rec)
                 if logger is not None:
                     logger.log_episode(rec)

@@ -317,10 +317,13 @@ class OnPolicyRunner:
         ep_len = carry.ep_len + 1
         emitted_ret = jnp.where(done_env, ep_ret, 0.0)
         emitted_cnt = done_env.astype(jnp.float32)
-        if tr.final.metrics is not None and "won" in tr.final.metrics:
-            emitted_won = jnp.where(done_env, tr.final.metrics["won"], 0.0)
-        else:
-            emitted_won = jnp.zeros_like(emitted_cnt)
+        # env-specific episode metrics (won / dead ratios / scores), summed at
+        # episode boundaries — the env-logger families of the reference
+        # (smac_logger.py:76-137, football_logger.py)
+        emitted_metrics = {
+            k: jnp.where(done_env, v, 0.0)
+            for k, v in (tr.final.metrics or {}).items()
+        }
         new_share = ts.agent_state if self.state_type == "FP" else ts.share_obs
         new_carry = RolloutCarry(
             env_state=tr.state,
@@ -356,7 +359,7 @@ class OnPolicyRunner:
             critic_rnn=carry.critic_rnn,
             emitted_ret=emitted_ret,
             emitted_cnt=emitted_cnt,
-            emitted_won=emitted_won,
+            emitted_metrics=emitted_metrics,
         )
         return new_carry, step_data
 
@@ -519,7 +522,9 @@ class OnPolicyRunner:
             mean_step_reward=jnp.mean(data["reward"]),
             episode_return_sum=jnp.sum(data["emitted_ret"]),
             episode_count=jnp.sum(data["emitted_cnt"]),
-            episode_won_sum=jnp.sum(data["emitted_won"]),
+            episode_metric_sums={
+                k: jnp.sum(v) for k, v in data["emitted_metrics"].items()
+            },
         )
         return actor_states, critic_state, vn, metrics
 
@@ -609,7 +614,7 @@ class OnPolicyRunner:
         rows = {k: [] for k in (
             "obs", "share_obs", "masks", "active_masks", "avail", "value", "reward",
             "next_masks", "next_bad_masks", "next_active", "critic_rnn",
-            "emitted_ret", "emitted_cnt", "emitted_won",
+            "emitted_ret", "emitted_cnt",
         )}
         acts_rows = [[] for _ in range(N)]
         logp_rows = [[] for _ in range(N)]
@@ -624,7 +629,9 @@ class OnPolicyRunner:
             done_env = dones.all(axis=1)               # (B,)
             bad = np.array(
                 [
-                    1.0 if not info[0].get("bad_transition", False) else 0.0
+                    0.0
+                    if any(a.get("bad_transition", False) for a in info)
+                    else 1.0
                     for info in res["infos"]
                 ],
                 np.float32,
@@ -650,7 +657,6 @@ class OnPolicyRunner:
             rows["critic_rnn"].append(np.asarray(carry.critic_rnn))
             rows["emitted_ret"].append(emitted)
             rows["emitted_cnt"].append(cnt)
-            rows["emitted_won"].append(np.zeros_like(cnt))
             for i in range(N):
                 acts_rows[i].append(np.asarray(acts[i]))
                 logp_rows[i].append(np.asarray(logps[i]))
@@ -667,12 +673,15 @@ class OnPolicyRunner:
                 actor_rnn=tuple(jnp.asarray(reset_h(h)) for h in new_arnn),
                 critic_rnn=jnp.asarray(reset_h(new_crnn)),
                 ep_ret=jnp.asarray(np.where(done_env, 0.0, ep_ret)),
-                ep_len=carry.ep_len,
+                ep_len=jnp.asarray(
+                    np.where(done_env, 0.0, np.asarray(carry.ep_len) + 1.0)
+                ),
             )
         data = {
             k: (None if (k == "avail" and rows[k][0] is None) else jnp.asarray(np.stack(rows[k])))
             for k in rows
         }
+        data["emitted_metrics"] = {}
         data["actions"] = tuple(jnp.asarray(np.stack(a)) for a in acts_rows)
         data["logp"] = tuple(jnp.asarray(np.stack(l)) for l in logp_rows)
         data["actor_rnn"] = tuple(jnp.asarray(np.stack(h)) for h in arnn_rows)
@@ -746,15 +755,22 @@ class OnPolicyRunner:
 
     # ------------------------------------------------------------------ eval
     def eval_rollout(self, ts: TrainState, n_eval_envs: int, round_idx: int = 0):
-        """Deterministic policy for one episode per eval env; returns mean return."""
+        """Deterministic policy over one full env horizon of auto-reset envs.
+
+        Counts every COMPLETED episode like the reference eval loop
+        (on_policy_base_runner.py:499-591): returns the sums
+        ``(episode_return_sum, episode_count, metric_sums)`` so the host can
+        keep calling rounds until ``eval_episodes`` episodes finished.
+        """
         vec = VecEnv(self.env, n_eval_envs)
         rng = jax.random.fold_in(jax.random.fold_in(ts.rng, 7777), round_idx)
         env_state, ets = vec.reset(rng)
 
         H = self.hidden_sizes[-1]
+        metric_keys = sorted((getattr(self.env, "metric_keys", None) or ()))
 
         def step(carry, k):
-            env_state, obs, avail, ep_ret, alive, rnn = carry
+            env_state, obs, avail, ep_ret, masks, ret_sum, cnt, msums, rnn = carry
             acts, new_rnn = [], []
             for i, actor in enumerate(self.actors):
                 obs_i = obs[:, i, : self.obs_dims[i]]
@@ -764,7 +780,7 @@ class OnPolicyRunner:
                 if self.use_recurrent_policy:
                     head, h = actor.policy.apply(
                         ts.actors[self._sidx(i)].params, obs_i, rnn[i],
-                        alive[:, None],
+                        masks[:, None],
                     )
                 else:
                     head, _ = actor.policy.apply(ts.actors[self._sidx(i)].params, obs_i)
@@ -781,16 +797,29 @@ class OnPolicyRunner:
                 stacked = stacked.astype(jnp.int32)
             tr = vec.step(env_state, stacked, k)
             done_env = jnp.all(tr.ts.dones, axis=1)
-            ep_ret = ep_ret + tr.ts.rewards[:, 0, 0] * alive
-            alive = alive * (1.0 - done_env.astype(jnp.float32))
+            done_f = done_env.astype(jnp.float32)
+            ep_ret = ep_ret + tr.ts.rewards[:, 0, 0]
+            ret_sum = ret_sum + jnp.sum(ep_ret * done_f)
+            cnt = cnt + jnp.sum(done_f)
+            fm = tr.final.metrics or {}
+            msums = {
+                key: msums[key] + jnp.sum(fm[key] * done_f) for key in metric_keys
+            }
+            ep_ret = jnp.where(done_env, 0.0, ep_ret)
+            new_masks = 1.0 - done_f
             return (
-                tr.state, tr.ts.obs, tr.ts.available_actions, ep_ret, alive,
-                tuple(new_rnn),
+                tr.state, tr.ts.obs, tr.ts.available_actions, ep_ret, new_masks,
+                ret_sum, cnt, msums,
+                tuple(
+                    jnp.where(done_env[:, None, None], 0.0, h) for h in new_rnn
+                ),
             ), None
 
         init = (
             env_state, ets.obs, ets.available_actions,
             jnp.zeros((n_eval_envs,)), jnp.ones((n_eval_envs,)),
+            jnp.zeros(()), jnp.zeros(()),
+            {key: jnp.zeros(()) for key in metric_keys},
             tuple(
                 jnp.zeros((n_eval_envs, self.recurrent_n, H))
                 for _ in range(self.n_agents)
@@ -799,11 +828,35 @@ class OnPolicyRunner:
         final_carry, _ = jax.lax.scan(
             step, init, jax.random.split(rng, self._eval_len())
         )
-        ep_ret = final_carry[3]
-        return jnp.mean(ep_ret)
+        return final_carry[5], final_carry[6], final_carry[7]
+
+    def evaluate(self, state: TrainState, n_eval: int, eval_episodes: int):
+        """Run jitted eval rounds until ``eval_episodes`` episodes completed
+        (on_policy_base_runner.py:587-591). Returns (mean_return, metrics)."""
+        ret_sum, cnt = 0.0, 0.0
+        msums: dict = {}
+        max_rounds = max((eval_episodes + n_eval - 1) // n_eval, 1) * 4
+        for r in range(max_rounds):
+            rs, c, ms = jax.device_get(self._eval_fn(state, n_eval, r))
+            ret_sum += float(rs)
+            cnt += float(c)
+            for k, v in ms.items():
+                msums[k] = msums.get(k, 0.0) + float(v)
+            if cnt >= eval_episodes:
+                break
+        if cnt == 0:
+            return float("nan"), {}
+        return ret_sum / cnt, {k: v / cnt for k, v in msums.items()}
 
     def _eval_len(self):
-        return getattr(self.env, "max_cycles", self.episode_length)
+        """The env's TRUE episode horizon — decoupled from the training
+        ``episode_length`` (which may be a shorter rollout window)."""
+        limit = (
+            getattr(self.env, "episode_limit", None)
+            or getattr(self.env, "max_cycles", None)
+            or getattr(self.env, "episode_length", None)  # dexhands horizon
+        )
+        return int(limit) if limit else self.episode_length
 
     def render(self, state: TrainState, episodes: int = 10, save_path: str = None):
         """Deterministic render rollouts (on_policy_base_runner.py:593-710).
@@ -943,20 +996,31 @@ class OnPolicyRunner:
         eval_interval = tr.get("eval_interval", 25)
         use_eval = ev.get("use_eval", False)
         n_eval = ev.get("n_eval_rollout_threads", 10)
+        # optional device trace of iterations 2-4 (skips compile) —
+        # utils/profiling.py; view in TensorBoard's profile tab
+        profile_dir = tr.get("profile_trace_dir")
         history = []
         t_start = time.time()
         last_return = float("nan")
         for episode in range(1, self.episodes + 1):
+            if profile_dir and episode == 2:
+                from harl_tpu.utils.profiling import start_trace
+
+                start_trace(profile_dir)
             if self.host_mode:
                 state, metrics = self.host_train_iteration(state)
             else:
                 state, metrics = self._train_iteration(state)
+            if profile_dir and episode == 4:
+                from harl_tpu.utils.profiling import stop_trace
+
+                jax.block_until_ready(state.critic.params)
+                stop_trace()
+                profile_dir = None
             if episode % log_interval == 0 or episode == self.episodes:
                 m = jax.device_get(metrics)
-                win_rate = None
                 if m["episode_count"] > 0:  # keep last value when no episode ended
                     last_return = float(m["episode_return_sum"] / m["episode_count"])
-                    win_rate = float(m["episode_won_sum"] / m["episode_count"])
                 fps = episode * steps_per_iter / (time.time() - t_start)
                 astats = np.asarray(m["actor_stats"])
                 rec = dict(
@@ -976,31 +1040,35 @@ class OnPolicyRunner:
                         for i in range(self.n_agents)
                     ],
                 )
-                if win_rate is not None:
-                    rec["win_rate"] = win_rate
+                # env-logger metric family (smac win rate, soccer score
+                # rate, ...): per-episode averages over this iteration
+                if m["episode_count"] > 0:
+                    for k, v in m.get("episode_metric_sums", {}).items():
+                        name = "win_rate" if k == "won" else k
+                        rec[name] = float(v / m["episode_count"])
                 history.append(rec)
                 if logger is not None:
                     logger.log_episode(rec)
                 if log_fn:
                     log_fn(rec)
-            if (episode % eval_interval == 0 or episode == self.episodes) and use_eval:
-                if self.host_mode:
-                    eval_ret = self.host_eval(state, n_eval)
-                else:
-                    # run until eval_episodes episodes complete
-                    # (on_policy_base_runner.py:587-591)
-                    eval_eps = ev.get("eval_episodes", n_eval)
-                    rounds = max((eval_eps + n_eval - 1) // n_eval, 1)
-                    eval_ret = float(
-                        np.mean([
-                            float(self._eval_fn(state, n_eval, r))
-                            for r in range(rounds)
-                        ])
-                    )
-                if logger is not None:
-                    logger.log_eval(episode * steps_per_iter, eval_ret)
-                if history:
-                    history[-1]["eval_return"] = eval_ret
+            if episode % eval_interval == 0 or episode == self.episodes:
+                if use_eval:
+                    extra = {}
+                    if self.host_mode:
+                        eval_ret = self.host_eval(state, n_eval)
+                    else:
+                        eval_eps = ev.get("eval_episodes", n_eval)
+                        eval_ret, extra = self.evaluate(state, n_eval, eval_eps)
+                    if logger is not None:
+                        logger.log_eval(episode * steps_per_iter, eval_ret, extra)
+                    if history:
+                        history[-1]["eval_return"] = eval_ret
+                        for k, v in extra.items():
+                            history[-1][
+                                "eval_win_rate" if k == "won" else f"eval_{k}"
+                            ] = v
+                # save every eval_interval REGARDLESS of use_eval
+                # (on_policy_base_runner.py:260-265 saves unconditionally)
                 if save_dir is not None:
                     from harl_tpu.utils.checkpoint import save_state
 

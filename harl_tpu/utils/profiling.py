@@ -19,6 +19,16 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def start_trace(log_dir: str) -> None:
+    """Non-contextmanager form for use across loop iterations (runner
+    ``profile_trace_dir`` flag)."""
+    jax.profiler.start_trace(log_dir)
+
+
+def stop_trace() -> None:
+    jax.profiler.stop_trace()
+
+
 class PhaseTimer:
     """Accumulates wall-clock per phase; ``timings()`` returns averages."""
 

@@ -124,8 +124,28 @@ def test_eval_rollout_runs():
         {"scenario": "simple_spread_v2", "continuous_actions": True, "max_cycles": 10},
     )
     state = runner.init_state(0)
-    ret = runner._eval_fn(state, 4)
-    assert np.isfinite(float(ret))
+    ret, extra = runner.evaluate(state, 4, eval_episodes=4)
+    assert np.isfinite(ret)
+    assert extra == {}  # MPE emits no env metrics
+
+
+def test_checkpoints_saved_without_eval(tmp_path):
+    """Saving every eval_interval must not depend on use_eval
+    (reference saves unconditionally, on_policy_base_runner.py:260-265)."""
+    cfg = _cfg()
+    cfg["eval"] = {"use_eval": False}
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "pettingzoo_mpe", "exp_name": "test"},
+        cfg,
+        {"scenario": "simple_spread_v2", "continuous_actions": True, "max_cycles": 10},
+    )
+    state, _ = runner.run(seed=0, save_dir=str(tmp_path))
+    ckpts = [d for d in tmp_path.iterdir() if d.name.startswith("ckpt_")]
+    assert ckpts, "run with use_eval=False left no checkpoints"
+    restored = runner.restore(state, str(tmp_path))
+    a = jax.tree_util.tree_leaves(restored.actors[0].params)[0]
+    b = jax.tree_util.tree_leaves(state.actors[0].params)[0]
+    assert np.allclose(np.asarray(a), np.asarray(b))
 
 
 def test_happo_recurrent_policy():
@@ -148,5 +168,5 @@ def test_happo_recurrent_policy():
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(rnn_leaves_before, rnn_leaves_after)
     )
-    ret = runner._eval_fn(new_state, 4)
-    assert np.isfinite(float(ret))
+    ret, _ = runner.evaluate(new_state, 4, eval_episodes=4)
+    assert np.isfinite(ret)
