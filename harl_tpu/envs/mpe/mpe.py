@@ -248,7 +248,12 @@ class MPEScenario:
             delta = state.agent_pos[:, None] - state.agent_pos[None, :]
             dist = jnp.sqrt(jnp.sum(delta ** 2, axis=-1) + 1e-8)
             dmin = sizes[:, None] + sizes[None, :]
-            coll = (dist < dmin) & ~jnp.eye(n, dtype=bool)
+            # pettingzoo 1.22.2 (the reference pin) counts SELF-collision:
+            # `for a in world.agents: if is_collision(a, agent)` has no
+            # a-is-agent guard and dist(agent, agent)=0 < dmin, so every
+            # agent pays a constant −1/step — keep the diagonal for
+            # return-scale parity with the reference learning curves
+            coll = dist < dmin
             local = -jnp.sum(coll, axis=1).astype(jnp.float32)
             per_agent = global_rew * (1 - self.local_ratio) + local * self.local_ratio
             total = jnp.sum(per_agent)

@@ -1,28 +1,52 @@
 """SMACLite: pure-JAX StarCraft-style micromanagement environment.
 
-A TPU-native cooperative combat benchmark with the full SMAC interface
-contract of the reference's vendored fork (``harl/envs/smac/StarCraft2_Env.py``)
-— without the StarCraft II binary/protobuf dependency, so thousands of
-instances step in lockstep under ``vmap``+``jit``. Faithfully reproduced
-surface semantics:
+A TPU-native cooperative combat benchmark with the interface contract and
+feature layouts of the reference's vendored SMAC fork
+(``harl/envs/smac/StarCraft2_Env.py``) — without the StarCraft II binary, so
+thousands of instances step in lockstep under ``vmap``+``jit``.
 
-  * discrete actions {no-op, stop, move N/S/E/W, attack enemy j}
-    with SMAC availability rules (StarCraft2_Env.py:2188-2240): dead agents
-    get no-op only; attacks need a living target within shoot range;
-  * per-agent observations structured like ``get_obs_agent``
-    (StarCraft2_Env.py:1083): move feats, enemy feats (visible-gated
-    [avail, dist, dx, dy, health]), ally feats, own feats;
-  * EP global state (``get_state``, :1276) and FP agent-specific state
-    (``get_state_agent``, :1613-1831 — here: EP state ⊕ own features ⊕
-    one-hot agent id);
-  * team reward shaped like ``reward_battle``: damage dealt + ``reward_death_value``
-    per kill + ``reward_win``, optionally normalized by the max total;
-  * dones[i] = battle over ∨ agent i dead (StarCraft2_Env.py:571-577);
-    ``bad_transition`` at the episode limit; ``metrics["won"]``.
+Fidelity surface (reference anchors):
 
-Enemies are controlled by a built-in attack-closest scripted AI (the SC2 bot's
-role). Unit stats are marine-like; symmetric maps "Nm_vs_Nm" are parameterized
-by army size.
+* **Map registry** (``harl/envs/smac/smac_maps.py:16-454``): named maps with
+  real unit compositions — marine maps (3m…27m_vs_30m), stalker/zealot maps
+  (2s3z, 3s5z, 3s5z_vs_3s6z, …), colossus maps (1c3s5z, 2c_vs_64zg),
+  MMM/MMM2 with medivac heal, hydralisk/zergling/baneling maps
+  (6h_vs_8z, corridor, so_many_baneling, bane_vs_bane), 2s_vs_1sc.
+* **Unit stats**: per-type health/shield/damage/cooldown/range/speed from the
+  SC2 balance values the reference env inherits from the game binary
+  (``unit_max_cooldown`` StarCraft2_Env.py:988-1001, ``unit_max_shield``
+  :1012-1019).
+* **Mechanics**: weapon cooldowns in game loops (8 loops per env step,
+  ``step_mul``); damage hits Protoss shields first; shield regeneration after
+  a no-damage delay; medivac heal with energy (MMM maps, :782-834); baneling
+  suicide splash; attack commands chase out-of-range targets at unit speed.
+* **Action space** (``get_avail_agent_actions`` :2188-2240): no-op (dead
+  only), stop, move N/S/E/W (bounds-checked), attack enemy j within shoot
+  range 6; medivacs target allies (heal) instead of enemies.
+* **Observations** (``get_obs_agent`` :1083-1266, HARL-fork layout): ally
+  feats, enemy feats, move feats, own feats, one-hot agent id; with
+  obs_all_health / obs_last_action=True / obs_agent_id=True defaults.
+* **EP state** (``get_global_state`` :1476-1611 with EP.yaml flags): per-ally
+  [health, cooldown|energy, center-xy, shield, type, last_action], per-enemy
+  [health, center-xy, shield, type], per-agent full avail-action move state,
+  timestep number.
+* **FP state** (``get_state_agent`` :1613-1831 with FP.yaml flags): per-agent
+  [ally feats | enemy feats | move feats | own feats | agent id] with
+  center-xy and last actions, zeroed when the agent is dead (use_mustalive).
+* **Reward** (``reward_battle`` :916-965): damage dealt to enemy
+  health+shield + reward_death_value per kill + reward_win, reward_only_
+  positive, scaled by 20 / max_reward.
+* dones[i] = battle over ∨ agent i dead (:571-577); ``bad_transition`` at the
+  episode limit; metrics ``won`` / ``dead_allies`` / ``dead_enemies``.
+
+Simplifications vs the real game (flat-arena physics): no pathing grid or
+terrain height (those state slots are emitted as constants), no unit
+collision, enemy AI is attack-closest (the bot's effective behavior in open
+micro fights), melee weapon ranges are ~1 world unit instead of touching
+hitboxes. SMACv2-style names (``protoss_5_vs_5`` …) draw per-episode unit
+types from the race pools with the capability-config weights
+(``configs/envs_cfgs/smacv2_map_config/*.yaml``: 0.45/0.45/0.1) and use
+reflected random spawns.
 """
 from __future__ import annotations
 
@@ -31,53 +55,188 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from harl_tpu.envs.core import TimeStep
 from harl_tpu.utils import spaces
 
-# unit-type tables: marine-, marauder-, stalker-like (SMACv2 capability
-# randomization analogue — unit types drawn per episode when
-# ``randomize_types`` is on, smacv2_env.py / capability config)
-N_TYPES = 3
-TYPE_HEALTH = jnp.array([45.0, 125.0, 80.0])
-TYPE_DAMAGE = jnp.array([6.0, 10.0, 13.0])
-UNIT_HEALTH = 45.0    # marine default (fixed-type maps)
-UNIT_DAMAGE = 6.0
-MAX_HEALTH = 125.0
-SHOOT_RANGE = 6.0
-SIGHT_RANGE = 9.0
-MOVE_AMOUNT = 2.0
-ARENA = 16.0          # half-size of the square arena
-REWARD_DEATH = 10.0
-REWARD_WIN = 200.0
+# ----------------------------------------------------------- unit type table
+# global type ids
+MARINE, MARAUDER, MEDIVAC, STALKER, ZEALOT, COLOSSUS, HYDRALISK, ZERGLING, \
+    BANELING, SPINECRAWLER = range(10)
 
-N_MOVE_ACTIONS = 6    # no-op, stop, N, S, E, W
+TYPE_HEALTH = jnp.array(
+    [45.0, 125.0, 150.0, 80.0, 100.0, 200.0, 80.0, 35.0, 30.0, 300.0])
+TYPE_SHIELD = jnp.array(
+    [0.0, 0.0, 0.0, 80.0, 50.0, 150.0, 0.0, 0.0, 0.0, 0.0])
+TYPE_DAMAGE = jnp.array(
+    [6.0, 10.0, 0.0, 13.0, 16.0, 20.0, 12.0, 5.0, 20.0, 25.0])
+# weapon cooldown in game loops (unit_max_cooldown; medivac slot = max energy)
+TYPE_COOLDOWN = jnp.array(
+    [15.0, 25.0, 200.0, 35.0, 22.0, 24.0, 10.0, 11.0, 1.0, 27.0])
+# weapon (or heal) range in world units; melee ≈ 1
+TYPE_RANGE = jnp.array(
+    [5.0, 6.0, 4.0, 6.0, 1.0, 7.0, 5.0, 1.0, 0.25, 7.0])
+TYPE_SPEED = jnp.array(
+    [3.15, 3.15, 3.5, 4.13, 3.15, 3.15, 3.15, 4.13, 4.13, 0.0])
+PROTOSS_TYPES = (STALKER, ZEALOT, COLOSSUS)
+
+SHOOT_RANGE = 6.0          # unit_shoot_range: constant 6 for availability
+SIGHT_RANGE = 9.0          # unit_sight_range
+MOVE_AMOUNT = 2.0          # _move_amount
+STEP_LOOPS = 8.0           # step_mul: game loops per env step
+ARENA = 16.0               # half-size; map 32×32 like the SC2 micro maps
+MAP_XY = 2 * ARENA
+SPLASH_RADIUS = 2.2        # baneling acid splash
+SHIELD_REGEN_DELAY = 18    # steps (~10 s) without damage before regen
+SHIELD_REGEN = 2.0         # per step
+HEAL_PER_STEP = 7.0        # medivac heal hp / step (≈12.6 hp/s approximation)
+HEAL_ENERGY_COST = 4.0     # energy / heal step
+ENERGY_REGEN = 0.5         # medivac energy / step
+REWARD_DEATH = 10.0        # reward_death_value
+REWARD_WIN = 200.0         # reward_win
+REWARD_SCALE_RATE = 20.0   # reward_scale_rate
+
+N_MOVE_ACTIONS = 6         # no-op, stop, N, S, E, W
+N_PATHING = 8              # n_obs_pathing (flat arena → constants)
+N_HEIGHT = 9               # n_obs_height
 
 _DIRS = jnp.array([[0.0, 1.0], [0.0, -1.0], [1.0, 0.0], [-1.0, 0.0]])
+
+# ------------------------------------------------------------- map registry
+# name → (ally type ids, enemy type ids, episode limit, unit_type_bits)
+# compositions per smac_maps.py map_type + the canonical SMAC army makeups
+def _reg():
+    def m(n):  # n marines
+        return (MARINE,) * n
+
+    def sz(s, z):  # s stalkers + z zealots
+        return (STALKER,) * s + (ZEALOT,) * z
+
+    mmm = (MARINE,) * 7 + (MARAUDER,) * 2 + (MEDIVAC,)
+    mmm2_e = (MARINE,) * 8 + (MARAUDER,) * 3 + (MEDIVAC,)
+    bane = (ZERGLING,) * 20 + (BANELING,) * 4
+    return {
+        # marines
+        "3m": (m(3), m(3), 60, 0),
+        "8m": (m(8), m(8), 120, 0),
+        "25m": (m(25), m(25), 150, 0),
+        "5m_vs_5m": (m(5), m(5), 100, 0),
+        "5m_vs_6m": (m(5), m(6), 70, 0),
+        "8m_vs_9m": (m(8), m(9), 120, 0),
+        "10m_vs_11m": (m(10), m(11), 150, 0),
+        "27m_vs_30m": (m(27), m(30), 180, 0),
+        "2m_vs_1z": (m(2), (ZEALOT,), 150, 0),
+        # stalkers & zealots (unit_type_bits=2)
+        "2s3z": (sz(2, 3), sz(2, 3), 120, 2),
+        "3s5z": (sz(3, 5), sz(3, 5), 150, 2),
+        "3s5z_vs_3s6z": (sz(3, 5), sz(3, 6), 170, 2),
+        "3s6z_vs_3s6z": (sz(3, 6), sz(3, 6), 170, 2),
+        "3s5z_vs_4s4z": (sz(3, 5), sz(4, 4), 150, 2),
+        "4s4z_vs_4s4z": (sz(4, 4), sz(4, 4), 150, 2),
+        "5s3z_vs_4s4z": (sz(5, 3), sz(4, 4), 150, 2),
+        "6s2z_vs_4s4z": (sz(6, 2), sz(4, 4), 150, 2),
+        "2s6z_vs_4s4z": (sz(2, 6), sz(4, 4), 150, 2),
+        # stalkers vs zealots (homogeneous per side → bits 0)
+        "3s_vs_3z": ((STALKER,) * 3, (ZEALOT,) * 3, 150, 0),
+        "3s_vs_4z": ((STALKER,) * 3, (ZEALOT,) * 4, 200, 0),
+        "3s_vs_5z": ((STALKER,) * 3, (ZEALOT,) * 5, 250, 0),
+        "2s_vs_1sc": ((STALKER,) * 2, (SPINECRAWLER,), 300, 0),
+        # colossi
+        "1c3s5z": ((COLOSSUS,) + sz(3, 5), (COLOSSUS,) + sz(3, 5), 180, 3),
+        "2c_vs_64zg": ((COLOSSUS,) * 2, (ZERGLING,) * 64, 400, 0),
+        # MMM (unit_type_bits=3, medivac heal)
+        "MMM": (mmm, mmm, 150, 3),
+        "MMM2": (mmm, mmm2_e, 180, 3),
+        # zerg
+        "6h_vs_8z": ((HYDRALISK,) * 6, (ZEALOT,) * 8, 150, 0),
+        "7h_vs_8z": ((HYDRALISK,) * 7, (ZEALOT,) * 8, 150, 0),
+        "corridor": ((ZEALOT,) * 6, (ZERGLING,) * 24, 400, 0),
+        "so_many_baneling": ((ZEALOT,) * 7, (BANELING,) * 32, 100, 0),
+        "bane_vs_bane": (bane, bane, 200, 2),
+    }
+
+
+MAP_REGISTRY = _reg()
+
+# local type-id maps per map family (get_unit_type_id, StarCraft2_Env.py:
+# 2157-2186): ally ids are relative to the map's min unit type; enemy ids use
+# the fixed SC2 ids. Encoded as global-id → local-slot lookup tables.
+def _local_maps(ally_types, enemy_types, bits):
+    def table(order):
+        t = np.zeros(10, np.int32)
+        for i, g in enumerate(order):
+            t[g] = i
+        return jnp.asarray(t)
+
+    kinds = set(ally_types) | set(enemy_types)
+    if bits == 0:
+        return table(()), table(())
+    if kinds <= {STALKER, ZEALOT}:
+        # ally: stalker=0, zealot=1; enemy: zealot(73)=0, stalker(74)=1
+        return table((STALKER, ZEALOT)), table((ZEALOT, STALKER))
+    if kinds <= {COLOSSUS, STALKER, ZEALOT}:
+        o = (COLOSSUS, STALKER, ZEALOT)
+        return table(o), table(o)
+    if kinds <= {MARINE, MARAUDER, MEDIVAC}:
+        o = (MARAUDER, MARINE, MEDIVAC)
+        return table(o), table(o)
+    if kinds <= {BANELING, ZERGLING}:
+        o = (BANELING, ZERGLING)
+        return table(o), table(o)
+    # SMACv2 race pools (sampled order = local id)
+    o = tuple(sorted(kinds))
+    return table(o), table(o)
+
+
+# SMACv2 race pools with capability-config weights (smacv2_map_config yamls)
+SMACV2_POOLS = {
+    "terran": ((MARINE, MARAUDER, MEDIVAC), (0.45, 0.45, 0.1)),
+    "protoss": ((STALKER, ZEALOT, COLOSSUS), (0.45, 0.45, 0.1)),
+    "zerg": ((ZERGLING, HYDRALISK, BANELING), (0.45, 0.45, 0.1)),
+}
 
 
 class SMACLiteState(NamedTuple):
     ally_pos: jnp.ndarray      # (A, 2)
     ally_health: jnp.ndarray   # (A,)
-    enemy_pos: jnp.ndarray     # (E, 2)
-    enemy_health: jnp.ndarray  # (E,)
-    ally_type: jnp.ndarray     # (A,) int32 unit-type index
-    enemy_type: jnp.ndarray    # (E,) int32
+    ally_shield: jnp.ndarray   # (A,)
+    ally_cd: jnp.ndarray       # (A,) weapon cooldown in loops (medivac: energy)
+    ally_hit_t: jnp.ndarray    # (A,) steps since last damage taken
+    enemy_pos: jnp.ndarray
+    enemy_health: jnp.ndarray
+    enemy_shield: jnp.ndarray
+    enemy_cd: jnp.ndarray
+    enemy_hit_t: jnp.ndarray
+    ally_type: jnp.ndarray     # (A,) int32 global unit-type ids
+    enemy_type: jnp.ndarray    # (E,)
+    last_action: jnp.ndarray   # (A,) int32
     t: jnp.ndarray             # () int32
-    battle_over: jnp.ndarray   # () bool (set the step the battle ends)
+    battle_over: jnp.ndarray   # () bool
 
 
 @dataclasses.dataclass(frozen=True)
 class SMACLite:
-    n_allies: int = 5
-    n_enemies: int = 5
+    ally_types: Tuple[int, ...] = (MARINE,) * 5
+    enemy_types: Tuple[int, ...] = (MARINE,) * 5
     episode_limit: int = 100
+    unit_type_bits: int = 0
     state_type: str = "EP"     # EP | FP (selects share/agent state exposure)
     reward_scale: bool = True
-    randomize_types: bool = False  # SMACv2-style per-episode unit types
-    metric_keys = ("won",)      # episode metrics emitted in TimeStep.metrics
+    randomize_types: bool = False  # SMACv2 capability randomization
+    race_pool: Tuple[int, ...] = PROTOSS_TYPES
+    race_weights: Tuple[float, ...] = (0.45, 0.45, 0.1)
+    metric_keys = ("won", "dead_allies", "dead_enemies")
 
     # ------------------------------------------------------------- metadata
+    @property
+    def n_allies(self) -> int:
+        return len(self.ally_types)
+
+    @property
+    def n_enemies(self) -> int:
+        return len(self.enemy_types)
+
     @property
     def n_agents(self) -> int:
         return self.n_allies
@@ -87,32 +246,86 @@ class SMACLite:
         return N_MOVE_ACTIONS + self.n_enemies
 
     @property
-    def unit_feat(self) -> int:
-        # [avail/visible, dist, dx, dy, health] (+ type one-hot when random)
-        return 5 + (N_TYPES if self.randomize_types else 0)
+    def shield_bits_ally(self) -> int:
+        kinds = set(self.race_pool) if self.randomize_types else set(self.ally_types)
+        return 1 if kinds & set(PROTOSS_TYPES) else 0
+
+    @property
+    def shield_bits_enemy(self) -> int:
+        kinds = set(self.race_pool) if self.randomize_types else set(self.enemy_types)
+        return 1 if kinds & set(PROTOSS_TYPES) else 0
+
+    @property
+    def _bits(self) -> int:
+        return 3 if self.randomize_types else self.unit_type_bits
+
+    # ---- feature row sizes (get_obs_*_feats_size / get_state_*_feats_size)
+    @property
+    def _nf_obs_ally(self) -> int:
+        # [visible, dist, dx, dy, health] + shield + type + last_action
+        return 5 + self.shield_bits_ally + self._bits + self.n_actions
+
+    @property
+    def _nf_obs_enemy(self) -> int:
+        return 5 + self.shield_bits_enemy + self._bits
+
+    @property
+    def _nf_obs_own(self) -> int:
+        return 5 + self.shield_bits_ally + self._bits + self.n_actions
 
     @property
     def obs_dim(self) -> int:
-        own = 1 + (N_TYPES if self.randomize_types else 0)
-        return 4 + self.n_enemies * self.unit_feat + (self.n_allies - 1) * self.unit_feat + own
+        A = self.n_allies
+        return ((A - 1) * self._nf_obs_ally + self.n_enemies * self._nf_obs_enemy
+                + 4 + self._nf_obs_own + A)
+
+    @property
+    def _nf_state_ally(self) -> int:
+        # [health, cooldown|energy, cx, cy] + shield + type + last_action
+        return 4 + self.shield_bits_ally + self._bits + self.n_actions
+
+    @property
+    def _nf_state_enemy(self) -> int:
+        return 3 + self.shield_bits_enemy + self._bits
 
     @property
     def state_dim(self) -> int:
-        per_unit = 3 + (N_TYPES if self.randomize_types else 0)
-        return self.n_allies * per_unit + self.n_enemies * per_unit
+        # get_global_state: ally + enemy + per-agent move state
+        # (n_actions + pathing + height) + timestep
+        A = self.n_allies
+        mv = self.n_actions + N_PATHING + N_HEIGHT
+        return (A * self._nf_state_ally + self.n_enemies * self._nf_state_enemy
+                + A * mv + 1)
+
+    @property
+    def _nf_fp_ally(self) -> int:
+        # [visible, dist, dx, dy, cd|energy, health] + shield + cxy + type + last_a
+        return 6 + self.shield_bits_ally + 2 + self._bits + self.n_actions
+
+    @property
+    def _nf_fp_enemy(self) -> int:
+        # [avail, dist, dx, dy, visible, health] + shield + type + cxy
+        return 6 + self.shield_bits_enemy + self._bits + 2
+
+    @property
+    def _nf_fp_own(self) -> int:
+        # [1, 0, 0, 0, health] + shield + cxy + type + last_action
+        return 5 + self.shield_bits_ally + 2 + self._bits + self.n_actions
 
     @property
     def fp_state_dim(self) -> int:
-        return self.state_dim + 3 + self.n_allies  # + own feats + one-hot id
+        A = self.n_allies
+        return ((A - 1) * self._nf_fp_ally + self.n_enemies * self._nf_fp_enemy
+                + 4 + self._nf_fp_own + A)
 
     @property
     def observation_space(self):
-        return [spaces.Box.create(-1.0, 1.0, self.obs_dim) for _ in range(self.n_allies)]
+        return [spaces.Box.create(-1.0, 1.0, self.obs_dim)] * self.n_allies
 
     @property
     def share_observation_space(self):
         d = self.fp_state_dim if self.state_type == "FP" else self.state_dim
-        return [spaces.Box.create(-1.0, 1.0, d) for _ in range(self.n_allies)]
+        return [spaces.Box.create(-1.0, 1.0, d)] * self.n_allies
 
     @property
     def action_space(self):
@@ -120,101 +333,238 @@ class SMACLite:
 
     @property
     def max_reward(self) -> float:
-        h = MAX_HEALTH if self.randomize_types else UNIT_HEALTH
-        return self.n_enemies * (REWARD_DEATH + h) + REWARD_WIN
+        # n_enemies*death + win + Σ enemy (health+shield) at full
+        et = np.asarray(self.enemy_types)
+        hp = float(np.asarray(TYPE_HEALTH)[et].sum()
+                   + np.asarray(TYPE_SHIELD)[et].sum())
+        if self.randomize_types:  # upper-bound with the beefiest pool unit
+            pool = np.asarray(self.race_pool)
+            hp = float(self.n_enemies * (np.asarray(TYPE_HEALTH)[pool]
+                                         + np.asarray(TYPE_SHIELD)[pool]).max())
+        return self.n_enemies * REWARD_DEATH + REWARD_WIN + hp
+
+    @property
+    def _locals(self):
+        return _local_maps(
+            tuple(self.race_pool) if self.randomize_types else self.ally_types,
+            tuple(self.race_pool) if self.randomize_types else self.enemy_types,
+            self._bits,
+        )
 
     # -------------------------------------------------------------- dynamics
     def reset(self, key) -> Tuple[SMACLiteState, TimeStep]:
         k1, k2, k3, k4 = jax.random.split(key, 4)
         A, E = self.n_allies, self.n_enemies
-        # two opposing clusters with jitter (SMAC-style spawn)
-        ally_pos = jnp.stack(
-            [jnp.full((A,), -ARENA / 2), jnp.linspace(-A, A, A)], axis=1
-        ) + jax.random.uniform(k1, (A, 2), minval=-1.0, maxval=1.0)
-        enemy_pos = jnp.stack(
-            [jnp.full((E,), ARENA / 2), jnp.linspace(-E, E, E)], axis=1
-        ) + jax.random.uniform(k2, (E, 2), minval=-1.0, maxval=1.0)
         if self.randomize_types:
-            ally_type = jax.random.randint(k3, (A,), 0, N_TYPES)
-            enemy_type = jax.random.randint(k4, (E,), 0, N_TYPES)
+            # SMACv2 weighted team generation + reflected random spawns
+            pool = jnp.asarray(self.race_pool)
+            w = jnp.asarray(self.race_weights)
+            ally_type = pool[jax.random.choice(k3, len(pool), (A,), p=w)]
+            enemy_type = pool[jax.random.choice(k4, len(pool), (E,), p=w)]
+            ally_pos = jax.random.uniform(
+                k1, (A, 2), minval=jnp.array([-ARENA * 0.8, -ARENA * 0.5]),
+                maxval=jnp.array([-2.0, ARENA * 0.5]))
+            ey = jax.random.uniform(k2, (E,), minval=-ARENA * 0.5,
+                                    maxval=ARENA * 0.5)
+            ex = -ally_pos[:, 0].mean() + jax.random.uniform(
+                k2, (E,), minval=-2.0, maxval=2.0)
+            enemy_pos = jnp.stack([ex, ey], axis=1)
         else:
-            ally_type = jnp.zeros((A,), jnp.int32)
-            enemy_type = jnp.zeros((E,), jnp.int32)
+            ally_type = jnp.asarray(self.ally_types, jnp.int32)
+            enemy_type = jnp.asarray(self.enemy_types, jnp.int32)
+            ally_pos = jnp.stack(
+                [jnp.full((A,), -6.0), jnp.linspace(-A / 2, A / 2, A)], axis=1
+            ) + jax.random.uniform(k1, (A, 2), minval=-1.0, maxval=1.0)
+            enemy_pos = jnp.stack(
+                [jnp.full((E,), 6.0), jnp.linspace(-E / 2, E / 2, E)], axis=1
+            ) + jax.random.uniform(k2, (E, 2), minval=-1.0, maxval=1.0)
+        is_med_a = ally_type == MEDIVAC
+        is_med_e = enemy_type == MEDIVAC
         state = SMACLiteState(
             ally_pos=ally_pos,
             ally_health=TYPE_HEALTH[ally_type],
+            ally_shield=TYPE_SHIELD[ally_type],
+            # medivacs start with full energy in the cd slot
+            ally_cd=jnp.where(is_med_a, TYPE_COOLDOWN[ally_type], 0.0),
+            ally_hit_t=jnp.full((A,), 100.0),
             enemy_pos=enemy_pos,
             enemy_health=TYPE_HEALTH[enemy_type],
+            enemy_shield=TYPE_SHIELD[enemy_type],
+            enemy_cd=jnp.where(is_med_e, TYPE_COOLDOWN[enemy_type], 0.0),
+            enemy_hit_t=jnp.full((E,), 100.0),
             ally_type=ally_type,
             enemy_type=enemy_type,
+            last_action=jnp.zeros((A,), jnp.int32),
             t=jnp.zeros((), jnp.int32),
             battle_over=jnp.zeros((), bool),
         )
         return state, self._timestep(state, jnp.zeros(()), jnp.zeros((), bool),
                                      jnp.zeros((), bool), jnp.zeros((), bool))
 
+    def _attack_phase(self, att_pos, att_type, att_alive, att_cd, want_attack,
+                      tgt, tgt_pos, tgt_alive, n_tgt):
+        """One side's attack resolution: chase-or-fire per attacker.
+
+        Returns (damage (n_tgt,), splash centers mask, new_pos, new_cd,
+        fired mask). ``tgt`` indexes the target side's units."""
+        dist = jnp.linalg.norm(tgt_pos[tgt] - att_pos, axis=-1)
+        w_range = TYPE_RANGE[att_type]
+        can_fire = want_attack & att_alive & tgt_alive[tgt] & (att_cd <= 0.0)
+        in_range = dist <= w_range
+        fires = can_fire & in_range
+        chases = want_attack & att_alive & tgt_alive[tgt] & ~in_range
+        # chase at unit speed (normalized to the marine's MOVE_AMOUNT step)
+        to_t = tgt_pos[tgt] - att_pos
+        nrm = jnp.maximum(jnp.linalg.norm(to_t, axis=-1, keepdims=True), 1e-6)
+        step_len = jnp.minimum(
+            MOVE_AMOUNT * TYPE_SPEED[att_type] / 3.15,
+            jnp.maximum(dist - 0.8 * w_range, 0.0),
+        )
+        new_pos = att_pos + jnp.where(
+            chases[:, None], to_t / nrm * step_len[:, None], 0.0)
+        is_bane = att_type == BANELING
+        point_dmg = jnp.where(fires & ~is_bane, TYPE_DAMAGE[att_type], 0.0)
+        dmg = jnp.zeros((n_tgt,)).at[tgt].add(point_dmg)
+        # baneling suicide splash: AoE around the exploding unit
+        bane_fire = fires & is_bane
+        d_bt = jnp.linalg.norm(
+            tgt_pos[None, :, :] - att_pos[:, None, :], axis=-1)  # (att, tgt)
+        splash = (d_bt <= SPLASH_RADIUS) & bane_fire[:, None] & tgt_alive[None, :]
+        dmg = dmg + jnp.sum(
+            jnp.where(splash, TYPE_DAMAGE[att_type][:, None], 0.0), axis=0)
+        new_cd = jnp.where(fires, TYPE_COOLDOWN[att_type], att_cd)
+        return dmg, bane_fire, new_pos, new_cd, fires
+
     def step(self, state: SMACLiteState, actions, key) -> Tuple[SMACLiteState, TimeStep]:
         """actions: (A, 1) int32."""
         del key
-        a = actions[..., 0].astype(jnp.int32)
+        a = jnp.asarray(actions)[..., 0].astype(jnp.int32)
         A, E = self.n_allies, self.n_enemies
         ally_alive = state.ally_health > 0
         enemy_alive = state.enemy_health > 0
+        is_med_a = state.ally_type == MEDIVAC
+        is_med_e = state.enemy_type == MEDIVAC
 
-        # --- ally movement ------------------------------------------------
+        # --- ally movement --------------------------------------------------
         is_move = (a >= 2) & (a < 6) & ally_alive
         direction = _DIRS[jnp.clip(a - 2, 0, 3)]
-        new_ally_pos = state.ally_pos + jnp.where(
-            is_move[:, None], direction * MOVE_AMOUNT, 0.0
-        )
-        new_ally_pos = jnp.clip(new_ally_pos, -ARENA, ARENA)
+        ally_pos = jnp.clip(
+            state.ally_pos + jnp.where(is_move[:, None], direction * MOVE_AMOUNT, 0.0),
+            -ARENA, ARENA)
 
-        # --- ally attacks -------------------------------------------------
-        tgt = jnp.clip(a - N_MOVE_ACTIONS, 0, E - 1)         # (A,)
-        dist_ae = jnp.linalg.norm(
-            new_ally_pos[:, None, :] - state.enemy_pos[None, :, :], axis=-1
-        )  # (A, E)
-        attack_ok = (
-            (a >= N_MOVE_ACTIONS)
-            & ally_alive
-            & enemy_alive[tgt]
-            & (jnp.take_along_axis(dist_ae, tgt[:, None], axis=1)[:, 0] <= SHOOT_RANGE)
-        )
-        dmg_to_enemy = jnp.zeros((E,)).at[tgt].add(
-            jnp.where(attack_ok, TYPE_DAMAGE[state.ally_type], 0.0)
-        )
+        # --- ally attacks (non-medivac) -------------------------------------
+        tgt = jnp.clip(a - N_MOVE_ACTIONS, 0, E - 1)
+        want_attack = (a >= N_MOVE_ACTIONS) & ~is_med_a
+        dmg_to_enemy, bane_a, ally_pos, ally_cd, _ = self._attack_phase(
+            ally_pos, state.ally_type, ally_alive, state.ally_cd,
+            want_attack, tgt, state.enemy_pos, enemy_alive, E)
 
-        # --- enemy AI: move toward / attack closest living ally ------------
-        big = 1e9
-        dist_ea = dist_ae.T  # (E, A)
-        dist_ea_masked = jnp.where(ally_alive[None, :], dist_ea, big)
-        closest = jnp.argmin(dist_ea_masked, axis=1)          # (E,)
-        closest_dist = jnp.min(dist_ea_masked, axis=1)
+        # --- ally medivac heal ----------------------------------------------
+        heal_tgt = jnp.clip(a - N_MOVE_ACTIONS, 0, A - 1)
+        hdist = jnp.linalg.norm(ally_pos[heal_tgt] - ally_pos, axis=-1)
+        damaged = state.ally_health < TYPE_HEALTH[state.ally_type]
+        heals = ((a >= N_MOVE_ACTIONS) & is_med_a & ally_alive
+                 & ally_alive[heal_tgt] & damaged[heal_tgt]
+                 & (hdist <= TYPE_RANGE[MEDIVAC])
+                 & (state.ally_cd >= HEAL_ENERGY_COST))
+        heal_in = jnp.zeros((A,)).at[heal_tgt].add(
+            jnp.where(heals, HEAL_PER_STEP, 0.0))
+        # medivac chases its heal target when out of range
+        med_chases = ((a >= N_MOVE_ACTIONS) & is_med_a & ally_alive
+                      & ally_alive[heal_tgt] & (hdist > TYPE_RANGE[MEDIVAC]))
+        to_h = ally_pos[heal_tgt] - ally_pos
+        nrm_h = jnp.maximum(jnp.linalg.norm(to_h, axis=-1, keepdims=True), 1e-6)
+        ally_pos = ally_pos + jnp.where(
+            med_chases[:, None], to_h / nrm_h * MOVE_AMOUNT, 0.0)
+
+        # --- enemy AI: attack-closest (or heal weakest for enemy medivacs) --
+        dist_ea = jnp.linalg.norm(
+            state.enemy_pos[:, None, :] - ally_pos[None, :, :], axis=-1)
+        closest = jnp.argmin(jnp.where(ally_alive[None, :], dist_ea, 1e9), axis=1)
         any_ally = jnp.any(ally_alive)
-        e_attacks = enemy_alive & (closest_dist <= SHOOT_RANGE) & any_ally
-        e_moves = enemy_alive & (closest_dist > SHOOT_RANGE) & any_ally
-        to_ally = new_ally_pos[closest] - state.enemy_pos
-        norm = jnp.maximum(jnp.linalg.norm(to_ally, axis=-1, keepdims=True), 1e-6)
-        new_enemy_pos = state.enemy_pos + jnp.where(
-            e_moves[:, None], to_ally / norm * MOVE_AMOUNT, 0.0
-        )
-        dmg_to_ally = jnp.zeros((A,)).at[closest].add(
-            jnp.where(e_attacks, TYPE_DAMAGE[state.enemy_type], 0.0)
-        )
+        e_want = enemy_alive & ~is_med_e & any_ally
+        dmg_to_ally, bane_e, enemy_pos, enemy_cd, _ = self._attack_phase(
+            state.enemy_pos, state.enemy_type, enemy_alive, state.enemy_cd,
+            e_want, closest, ally_pos, ally_alive, A)
+        # enemy medivac: heal the most-damaged living non-medivac enemy
+        e_deficit = jnp.where(
+            enemy_alive & ~is_med_e,
+            TYPE_HEALTH[state.enemy_type] - state.enemy_health, -1.0)
+        e_heal_tgt = jnp.argmax(e_deficit)
+        ehdist = jnp.linalg.norm(enemy_pos[e_heal_tgt] - enemy_pos, axis=-1)
+        e_heals = (is_med_e & enemy_alive & (e_deficit[e_heal_tgt] > 0)
+                   & (ehdist <= TYPE_RANGE[MEDIVAC])
+                   & (enemy_cd >= HEAL_ENERGY_COST))
+        e_heal_in = jnp.zeros((E,)).at[e_heal_tgt].add(
+            jnp.sum(jnp.where(e_heals, HEAL_PER_STEP, 0.0)))
+        e_med_chase = (is_med_e & enemy_alive & (e_deficit[e_heal_tgt] > 0)
+                       & (ehdist > TYPE_RANGE[MEDIVAC]))
+        to_eh = enemy_pos[e_heal_tgt] - enemy_pos
+        nrm_eh = jnp.maximum(jnp.linalg.norm(to_eh, axis=-1, keepdims=True), 1e-6)
+        enemy_pos = enemy_pos + jnp.where(
+            e_med_chase[:, None], to_eh / nrm_eh * MOVE_AMOUNT, 0.0)
 
-        # --- apply damage --------------------------------------------------
-        new_ally_health = jnp.maximum(state.ally_health - dmg_to_ally, 0.0)
-        new_enemy_health = jnp.maximum(state.enemy_health - dmg_to_enemy, 0.0)
+        # --- apply damage: shields first, then health (Protoss mechanics) ---
+        def absorb(shield, health, dmg, alive):
+            dmg = jnp.where(alive, dmg, 0.0)
+            sh_after = jnp.maximum(shield - dmg, 0.0)
+            spill = jnp.maximum(dmg - shield, 0.0)
+            return sh_after, jnp.maximum(health - spill, 0.0), dmg > 0
 
-        # --- reward (reward_battle-style) ----------------------------------
-        dealt = jnp.sum(state.enemy_health - new_enemy_health)
-        kills = jnp.sum((state.enemy_health > 0) & (new_enemy_health <= 0))
-        all_enemies_dead = jnp.all(new_enemy_health <= 0)
-        all_allies_dead = jnp.all(new_ally_health <= 0)
+        e_shield, e_health, e_hit = absorb(
+            state.enemy_shield, state.enemy_health, dmg_to_enemy, enemy_alive)
+        a_shield, a_health, a_hit = absorb(
+            state.ally_shield, state.ally_health, dmg_to_ally, ally_alive)
+        # banelings die on exploding
+        a_health = jnp.where(bane_a, 0.0, a_health)
+        e_health = jnp.where(bane_e, 0.0, e_health)
+        # heals (cannot exceed max health)
+        a_health = jnp.where(
+            ally_alive & (a_health > 0),
+            jnp.minimum(a_health + heal_in, TYPE_HEALTH[state.ally_type]),
+            a_health)
+        e_health = jnp.where(
+            enemy_alive & (e_health > 0),
+            jnp.minimum(e_health + e_heal_in, TYPE_HEALTH[state.enemy_type]),
+            e_health)
+
+        # --- cooldown / energy / shield-regen bookkeeping -------------------
+        ally_cd = jnp.where(
+            is_med_a,
+            jnp.clip(state.ally_cd + ENERGY_REGEN
+                     - jnp.where(heals, HEAL_ENERGY_COST, 0.0),
+                     0.0, TYPE_COOLDOWN[MEDIVAC]),
+            jnp.maximum(ally_cd - STEP_LOOPS, 0.0))
+        enemy_cd = jnp.where(
+            is_med_e,
+            jnp.clip(state.enemy_cd + ENERGY_REGEN
+                     - jnp.where(e_heals, HEAL_ENERGY_COST, 0.0),
+                     0.0, TYPE_COOLDOWN[MEDIVAC]),
+            jnp.maximum(enemy_cd - STEP_LOOPS, 0.0))
+        a_hit_t = jnp.where(a_hit, 0.0, state.ally_hit_t + 1.0)
+        e_hit_t = jnp.where(e_hit, 0.0, state.enemy_hit_t + 1.0)
+        a_shield = jnp.where(
+            (a_hit_t >= SHIELD_REGEN_DELAY) & (a_health > 0),
+            jnp.minimum(a_shield + SHIELD_REGEN, TYPE_SHIELD[state.ally_type]),
+            a_shield)
+        e_shield = jnp.where(
+            (e_hit_t >= SHIELD_REGEN_DELAY) & (e_health > 0),
+            jnp.minimum(e_shield + SHIELD_REGEN, TYPE_SHIELD[state.enemy_type]),
+            e_shield)
+
+        # --- reward (reward_battle, reward_only_positive=True) --------------
+        prev_e_total = state.enemy_health + state.enemy_shield
+        new_e_total = e_health + e_shield
+        delta_enemy = jnp.sum(
+            jnp.where(enemy_alive, jnp.maximum(prev_e_total - new_e_total, 0.0), 0.0))
+        kills = jnp.sum(enemy_alive & (e_health <= 0))
+        all_enemies_dead = jnp.all(e_health <= 0)
+        all_allies_dead = jnp.all(a_health <= 0)
         won = all_enemies_dead
-        reward = dealt + kills * REWARD_DEATH + jnp.where(won, REWARD_WIN, 0.0)
+        reward = (delta_enemy + kills * REWARD_DEATH
+                  + jnp.where(won, REWARD_WIN, 0.0))
         if self.reward_scale:
-            reward = reward / self.max_reward * 20.0  # SMAC reward_scale_rate
+            reward = reward / self.max_reward * REWARD_SCALE_RATE
 
         new_t = state.t + 1
         time_up = new_t >= self.episode_limit
@@ -223,131 +573,294 @@ class SMACLite:
         bad_transition = time_up & ~terminated
 
         new_state = SMACLiteState(
-            ally_pos=new_ally_pos,
-            ally_health=new_ally_health,
-            enemy_pos=new_enemy_pos,
-            enemy_health=new_enemy_health,
-            ally_type=state.ally_type,
-            enemy_type=state.enemy_type,
-            t=new_t,
-            battle_over=done,
+            ally_pos=ally_pos, ally_health=a_health, ally_shield=a_shield,
+            ally_cd=ally_cd, ally_hit_t=a_hit_t,
+            enemy_pos=enemy_pos, enemy_health=e_health, enemy_shield=e_shield,
+            enemy_cd=enemy_cd, enemy_hit_t=e_hit_t,
+            ally_type=state.ally_type, enemy_type=state.enemy_type,
+            last_action=a, t=new_t, battle_over=done,
         )
-        return new_state, self._timestep(new_state, reward, done, bad_transition, won)
+        return new_state, self._timestep(new_state, reward, done,
+                                         bad_transition, won)
 
-    # ---------------------------------------------------------- observation
+    # -------------------------------------------------------- feature blocks
+    def _type_onehot(self, types, local_table):
+        if self._bits == 0:
+            return None
+        return jax.nn.one_hot(local_table[types], self._bits)
+
+    def _can_move(self, pos, alive):
+        """(N, 4) can-move bits: bounds check per direction (can_move)."""
+        nxt = pos[:, None, :] + _DIRS[None] * (MOVE_AMOUNT / 2)
+        ok = jnp.all((nxt >= -ARENA) & (nxt <= ARENA), axis=-1)
+        return ok & alive[:, None]
+
     def _obs(self, state: SMACLiteState) -> jnp.ndarray:
+        """get_obs_agent layout: ally | enemy | move | own | agent_id."""
         A, E = self.n_allies, self.n_enemies
+        loc_a, loc_e = self._locals
         ally_alive = state.ally_health > 0
         enemy_alive = state.enemy_health > 0
         pos = state.ally_pos
-        # move feats: all 4 moves available while alive (boundary-free arena)
-        move_feats = jnp.tile(ally_alive[:, None].astype(jnp.float32), (1, 4))
-        # enemy feats per agent
-        delta_e = state.enemy_pos[None, :, :] - pos[:, None, :]     # (A,E,2)
+        avail = self._avail(state)                       # (A, n_actions)
+        last_a = jax.nn.one_hot(state.last_action, self.n_actions)
+
+        # enemy features (A, E, nf)
+        delta_e = state.enemy_pos[None] - pos[:, None]
         dist_e = jnp.linalg.norm(delta_e, axis=-1)
-        visible_e = (dist_e <= SIGHT_RANGE) & enemy_alive[None, :] & ally_alive[:, None]
-        shootable = (dist_e <= SHOOT_RANGE) & enemy_alive[None, :] & ally_alive[:, None]
-        e_maxh = TYPE_HEALTH[state.enemy_type]
-        ef_parts = [
-            shootable.astype(jnp.float32),
+        vis_e = (dist_e < SIGHT_RANGE) & enemy_alive[None, :] & ally_alive[:, None]
+        ef = [
+            avail[:, N_MOVE_ACTIONS:],                   # attackable
             dist_e / SIGHT_RANGE,
             delta_e[..., 0] / SIGHT_RANGE,
             delta_e[..., 1] / SIGHT_RANGE,
-            jnp.broadcast_to((state.enemy_health / e_maxh)[None, :], dist_e.shape),
+            jnp.broadcast_to(
+                (state.enemy_health / TYPE_HEALTH[state.enemy_type])[None],
+                dist_e.shape),
         ]
-        ef = jnp.stack(ef_parts, axis=-1)  # (A, E, 5)
-        if self.randomize_types:
-            e_oh = jnp.broadcast_to(
-                jax.nn.one_hot(state.enemy_type, N_TYPES)[None], (A, E, N_TYPES)
-            )
-            ef = jnp.concatenate([ef, e_oh], axis=-1)
-        ef = jnp.where(visible_e[..., None], ef, 0.0).reshape(A, E * self.unit_feat)
-        # ally feats (excluding self)
-        delta_a = pos[None, :, :] - pos[:, None, :]
+        if self.shield_bits_enemy:
+            ef.append(jnp.broadcast_to(
+                _shield_frac(state.enemy_shield, state.enemy_type)[None],
+                dist_e.shape))
+        ef = jnp.stack(ef, axis=-1)
+        e_oh = self._type_onehot(state.enemy_type, loc_e)
+        if e_oh is not None:
+            ef = jnp.concatenate(
+                [ef, jnp.broadcast_to(e_oh[None], (A, E, self._bits))], axis=-1)
+        ef = jnp.where(vis_e[..., None], ef, 0.0).reshape(A, -1)
+
+        # ally features (A, A, nf) then drop self row
+        delta_a = pos[None] - pos[:, None]
         dist_a = jnp.linalg.norm(delta_a, axis=-1)
-        visible_a = (dist_a <= SIGHT_RANGE) & ally_alive[None, :] & ally_alive[:, None]
-        a_maxh = TYPE_HEALTH[state.ally_type]
-        af_parts = [
-            visible_a.astype(jnp.float32),
+        vis_a = (dist_a < SIGHT_RANGE) & ally_alive[None, :] & ally_alive[:, None]
+        af = [
+            vis_a.astype(jnp.float32),
             dist_a / SIGHT_RANGE,
             delta_a[..., 0] / SIGHT_RANGE,
             delta_a[..., 1] / SIGHT_RANGE,
-            jnp.broadcast_to((state.ally_health / a_maxh)[None, :], dist_a.shape),
+            jnp.broadcast_to(
+                (state.ally_health / TYPE_HEALTH[state.ally_type])[None],
+                dist_a.shape),
         ]
-        af = jnp.stack(af_parts, axis=-1)  # (A, A, 5)
-        if self.randomize_types:
-            a_oh = jnp.broadcast_to(
-                jax.nn.one_hot(state.ally_type, N_TYPES)[None], (A, A, N_TYPES)
-            )
-            af = jnp.concatenate([af, a_oh], axis=-1)
-        af = jnp.where(visible_a[..., None], af, 0.0)
-        af = _drop_diag(af)  # remove each agent's self row → (A, (A−1)·uf)
-        own = (state.ally_health / a_maxh)[:, None]
-        if self.randomize_types:
-            own = jnp.concatenate(
-                [own, jax.nn.one_hot(state.ally_type, N_TYPES)], axis=-1
-            )
-        return jnp.concatenate([move_feats, ef, af, own], axis=-1)
+        if self.shield_bits_ally:
+            af.append(jnp.broadcast_to(
+                _shield_frac(state.ally_shield, state.ally_type)[None],
+                dist_a.shape))
+        af = jnp.stack(af, axis=-1)
+        a_oh = self._type_onehot(state.ally_type, loc_a)
+        extra = [jnp.broadcast_to(last_a[None], (A, A, self.n_actions))]
+        if a_oh is not None:
+            extra.insert(0, jnp.broadcast_to(a_oh[None], (A, A, self._bits)))
+        af = jnp.concatenate([af] + extra, axis=-1)
+        # whole row gated on "dist < sight_range and al_unit.health > 0" plus
+        # viewer alive (get_obs_agent:1183)
+        af = af * vis_a[..., None].astype(jnp.float32)
+        af = _drop_diag(af)
+
+        move = self._can_move(pos, ally_alive).astype(jnp.float32)
+
+        own = [
+            jnp.ones((A, 1)), jnp.zeros((A, 3)),
+            (state.ally_health / TYPE_HEALTH[state.ally_type])[:, None],
+        ]
+        if self.shield_bits_ally:
+            own.append(_shield_frac(state.ally_shield, state.ally_type)[:, None])
+        if a_oh is not None:
+            own.append(a_oh)
+        own.append(last_a)
+        own = jnp.concatenate(own, axis=-1) * ally_alive[:, None]
+
+        ids = jnp.eye(A)
+        return jnp.concatenate([af, ef, move * ally_alive[:, None], own, ids],
+                               axis=-1)
 
     def _state(self, state: SMACLiteState) -> jnp.ndarray:
-        a_parts = [
-            (state.ally_health / TYPE_HEALTH[state.ally_type])[:, None],
-            state.ally_pos / ARENA,
-        ]
-        e_parts = [
-            (state.enemy_health / TYPE_HEALTH[state.enemy_type])[:, None],
-            state.enemy_pos / ARENA,
-        ]
-        if self.randomize_types:
-            a_parts.append(jax.nn.one_hot(state.ally_type, N_TYPES))
-            e_parts.append(jax.nn.one_hot(state.enemy_type, N_TYPES))
-        allies = jnp.concatenate(a_parts, axis=-1).reshape(-1)
-        enemies = jnp.concatenate(e_parts, axis=-1).reshape(-1)
-        return jnp.concatenate([allies, enemies])
+        """get_global_state (EP): ally | enemy | move | timestep."""
+        A, E = self.n_allies, self.n_enemies
+        loc_a, loc_e = self._locals
+        ally_alive = state.ally_health > 0
+        enemy_alive = state.enemy_health > 0
+        last_a = jax.nn.one_hot(state.last_action, self.n_actions)
+        a_oh = self._type_onehot(state.ally_type, loc_a)
+        e_oh = self._type_onehot(state.enemy_type, loc_e)
 
-    def _agent_state(self, state: SMACLiteState, ep_state) -> jnp.ndarray:
-        """FP: EP state ⊕ own (health, x, y) ⊕ one-hot id, per agent."""
-        A = self.n_allies
-        own = jnp.concatenate(
-            [(state.ally_health / UNIT_HEALTH)[:, None], state.ally_pos / ARENA],
-            axis=-1,
-        )
+        ally = [
+            (state.ally_health / TYPE_HEALTH[state.ally_type])[:, None],
+            (state.ally_cd / TYPE_COOLDOWN[state.ally_type])[:, None],
+            state.ally_pos / (MAP_XY / 2),               # center-xy
+        ]
+        if self.shield_bits_ally:
+            ally.append(_shield_frac(state.ally_shield, state.ally_type)[:, None])
+        if a_oh is not None:
+            ally.append(a_oh)
+        ally.append(last_a)
+        ally = jnp.concatenate(ally, axis=-1) * ally_alive[:, None]
+
+        enemy = [
+            (state.enemy_health / TYPE_HEALTH[state.enemy_type])[:, None],
+            state.enemy_pos / (MAP_XY / 2),
+        ]
+        if self.shield_bits_enemy:
+            enemy.append(_shield_frac(state.enemy_shield, state.enemy_type)[:, None])
+        if e_oh is not None:
+            enemy.append(e_oh)
+        enemy = jnp.concatenate(enemy, axis=-1) * enemy_alive[:, None]
+
+        # per-agent move state: full avail actions + flat-arena pathing (1s in
+        # bounds) + height (zeros) — the EP.yaml state_pathing_grid /
+        # state_terrain_height slots, constant on a flat map
+        avail = self._avail(state)
+        pathing = jnp.ones((A, N_PATHING))
+        height = jnp.zeros((A, N_HEIGHT))
+        move = jnp.concatenate([avail, pathing, height], axis=-1)
+
+        ts_num = (state.t / self.episode_limit)[None].astype(jnp.float32)
+        return jnp.concatenate(
+            [ally.reshape(-1), enemy.reshape(-1), move.reshape(-1), ts_num])
+
+    def _agent_state(self, state: SMACLiteState) -> jnp.ndarray:
+        """get_state_agent (FP): per-agent ally | enemy | move | own | id."""
+        A, E = self.n_allies, self.n_enemies
+        loc_a, loc_e = self._locals
+        ally_alive = state.ally_health > 0
+        enemy_alive = state.enemy_health > 0
+        pos = state.ally_pos
+        avail = self._avail(state)
+        last_a = jax.nn.one_hot(state.last_action, self.n_actions)
+        a_oh = self._type_onehot(state.ally_type, loc_a)
+        e_oh = self._type_onehot(state.enemy_type, loc_e)
+        cxy_a = pos / (MAP_XY / 2)
+        cxy_e = state.enemy_pos / (MAP_XY / 2)
+
+        # ally rows (viewer i, ally j)
+        delta_a = pos[None] - pos[:, None]
+        dist_a = jnp.linalg.norm(delta_a, axis=-1)
+        vis_a = (dist_a < SIGHT_RANGE).astype(jnp.float32)
+        geo_gate = ally_alive[:, None, None].astype(jnp.float32)  # viewer alive
+        af = [
+            vis_a[..., None] * geo_gate[..., 0:1],
+            (dist_a / SIGHT_RANGE)[..., None] * geo_gate,
+            (delta_a / SIGHT_RANGE) * geo_gate,
+            jnp.broadcast_to(
+                (state.ally_cd / TYPE_COOLDOWN[state.ally_type])[None, :, None],
+                (A, A, 1)),
+            jnp.broadcast_to(
+                (state.ally_health / TYPE_HEALTH[state.ally_type])[None, :, None],
+                (A, A, 1)),
+        ]
+        if self.shield_bits_ally:
+            af.append(jnp.broadcast_to(
+                _shield_frac(state.ally_shield, state.ally_type)[None, :, None],
+                (A, A, 1)))
+        af.append(jnp.broadcast_to(cxy_a[None], (A, A, 2)))
+        if a_oh is not None:
+            af.append(jnp.broadcast_to(a_oh[None], (A, A, self._bits)))
+        af.append(jnp.broadcast_to(last_a[None], (A, A, self.n_actions)))
+        af = jnp.concatenate(af, axis=-1) * ally_alive[None, :, None]
+        af = _drop_diag(af)
+
+        # enemy rows (viewer i, enemy j)
+        delta_e = state.enemy_pos[None] - pos[:, None]
+        dist_e = jnp.linalg.norm(delta_e, axis=-1)
+        vis_e = (dist_e < SIGHT_RANGE).astype(jnp.float32)
+        geo = ally_alive[:, None, None].astype(jnp.float32)
+        ef = [
+            avail[:, N_MOVE_ACTIONS:, None] * geo,
+            (dist_e / SIGHT_RANGE)[..., None] * geo,
+            (delta_e / SIGHT_RANGE) * geo,
+            vis_e[..., None] * geo,
+            jnp.broadcast_to(
+                (state.enemy_health / TYPE_HEALTH[state.enemy_type])[None, :, None],
+                (A, E, 1)),
+        ]
+        if self.shield_bits_enemy:
+            ef.append(jnp.broadcast_to(
+                _shield_frac(state.enemy_shield, state.enemy_type)[None, :, None],
+                (A, E, 1)))
+        if e_oh is not None:
+            ef.append(jnp.broadcast_to(e_oh[None], (A, E, self._bits)))
+        ef.append(jnp.broadcast_to(cxy_e[None], (A, E, 2)))
+        ef = jnp.concatenate(ef, axis=-1) * enemy_alive[None, :, None]
+        ef = ef.reshape(A, -1)
+
+        move = self._can_move(pos, ally_alive).astype(jnp.float32)
+
+        own = [
+            jnp.ones((A, 1)), jnp.zeros((A, 3)),
+            (state.ally_health / TYPE_HEALTH[state.ally_type])[:, None],
+        ]
+        if self.shield_bits_ally:
+            own.append(_shield_frac(state.ally_shield, state.ally_type)[:, None])
+        own.append(cxy_a)
+        if a_oh is not None:
+            own.append(a_oh)
+        own.append(last_a)
+        own = jnp.concatenate(own, axis=-1)
+
         ids = jnp.eye(A)
-        base = jnp.broadcast_to(ep_state[None, :], (A, ep_state.shape[0]))
-        return jnp.concatenate([base, own, ids], axis=-1)
+        fp = jnp.concatenate([af, ef, move, own, ids], axis=-1)
+        # use_mustalive: the whole row zeros when the viewing agent is dead
+        # (but its one-hot id survives in the reference? no — all zeros, then
+        # agent_id appended AFTER the mustalive gate → id stays)
+        gate = ally_alive[:, None].astype(jnp.float32)
+        fp = jnp.concatenate(
+            [fp[:, : fp.shape[1] - A] * gate, ids], axis=-1)
+        return fp
 
     def _avail(self, state: SMACLiteState) -> jnp.ndarray:
         A, E = self.n_allies, self.n_enemies
         alive = state.ally_health > 0
         enemy_alive = state.enemy_health > 0
+        is_med = state.ally_type == MEDIVAC
         dist_ae = jnp.linalg.norm(
-            state.ally_pos[:, None, :] - state.enemy_pos[None, :, :], axis=-1
-        )
+            state.ally_pos[:, None, :] - state.enemy_pos[None, :, :], axis=-1)
         attack_avail = (
             (dist_ae <= SHOOT_RANGE) & enemy_alive[None, :] & alive[:, None]
-        ).astype(jnp.float32)
+            & ~is_med[:, None]
+        )
+        # medivac heal targets: living non-medivac allies within shoot range
+        dist_aa = jnp.linalg.norm(
+            state.ally_pos[:, None, :] - state.ally_pos[None, :, :], axis=-1)
+        heal_ok = (
+            (dist_aa <= SHOOT_RANGE) & alive[None, :] & alive[:, None]
+            & is_med[:, None] & ~(state.ally_type == MEDIVAC)[None, :]
+            & ~jnp.eye(A, dtype=bool)
+        )
+        # heal targets occupy the first min(A, E) attack slots
+        k = min(A, E)
+        target_avail = attack_avail.astype(jnp.float32)
+        target_avail = target_avail.at[:, :k].set(
+            jnp.where(is_med[:, None], heal_ok[:, :k].astype(jnp.float32),
+                      target_avail[:, :k]))
         noop = (~alive).astype(jnp.float32)[:, None]
         stop = alive.astype(jnp.float32)[:, None]
-        moves = jnp.tile(alive.astype(jnp.float32)[:, None], (1, 4))
-        return jnp.concatenate([noop, stop, moves, attack_avail], axis=-1)
+        moves = self._can_move(state.ally_pos, alive).astype(jnp.float32)
+        return jnp.concatenate([noop, stop, moves, target_avail], axis=-1)
 
     def _timestep(self, state, reward, done, bad_transition, won) -> TimeStep:
         A = self.n_allies
         dead = state.ally_health <= 0
         dones = jnp.broadcast_to(done, (A,)) | dead  # StarCraft2_Env.py:571-577
-        ep_state = self._state(state)
         return TimeStep(
             obs=self._obs(state),
-            share_obs=ep_state,
+            share_obs=self._state(state),
             rewards=jnp.broadcast_to(reward, (A, 1)).astype(jnp.float32),
             dones=dones,
             bad_transition=bad_transition,
             available_actions=self._avail(state),
-            agent_state=self._agent_state(state, ep_state)
+            agent_state=self._agent_state(state)
             if self.state_type == "FP"
             else None,
-            metrics={"won": won.astype(jnp.float32)},
+            metrics={
+                "won": won.astype(jnp.float32),
+                "dead_allies": jnp.mean((state.ally_health <= 0).astype(jnp.float32)),
+                "dead_enemies": jnp.mean((state.enemy_health <= 0).astype(jnp.float32)),
+            },
         )
+
+
+def _shield_frac(shield, types):
+    return shield / jnp.maximum(TYPE_SHIELD[types], 1.0)
 
 
 def _drop_diag(af: jnp.ndarray) -> jnp.ndarray:
@@ -361,19 +874,37 @@ def _drop_diag(af: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_smaclite(map_name: str = "5m_vs_5m", **kwargs) -> SMACLite:
-    """Map names like '3m', '5m_vs_5m', '8m_vs_9m' set army sizes.
-
-    SMACv2-style names ('protoss_5_vs_5', 'terran_10_vs_10', …) switch on
-    per-episode unit-type randomization (the capability-config analogue)."""
-    if any(map_name.startswith(race) for race in ("protoss", "terran", "zerg")):
-        parts = map_name.split("_")
-        n_allies = int(parts[1])
-        n_enemies = int(parts[3]) if len(parts) > 3 else n_allies
-        kwargs.setdefault("randomize_types", True)
-        return SMACLite(n_allies=n_allies, n_enemies=n_enemies, **kwargs)
+    """Build a map from the registry (smac_maps.py parity), a generic
+    'Nm_vs_Mm' marine pattern, or a SMACv2 capability name
+    ('protoss_5_vs_5', 'terran_10_vs_11', …)."""
+    episode_limit = kwargs.pop("episode_limit", None)
+    for race, (pool, weights) in SMACV2_POOLS.items():
+        if map_name.startswith(race):
+            parts = map_name.split("_")
+            n_allies = int(parts[1])
+            n_enemies = int(parts[3]) if len(parts) > 3 else n_allies
+            return SMACLite(
+                ally_types=(pool[0],) * n_allies,
+                enemy_types=(pool[0],) * n_enemies,
+                episode_limit=episode_limit or 150,
+                randomize_types=True,
+                race_pool=pool, race_weights=weights,
+                **kwargs,
+            )
+    if map_name in MAP_REGISTRY:
+        ally, enemy, limit, bits = MAP_REGISTRY[map_name]
+        return SMACLite(
+            ally_types=ally, enemy_types=enemy,
+            episode_limit=episode_limit or limit, unit_type_bits=bits,
+            **kwargs,
+        )
+    # generic marine pattern fallback: '7m', '12m_vs_13m'
     name = map_name.replace("m", "").split("_vs_")
     if len(name) == 2:
         n_allies, n_enemies = int(name[0]), int(name[1])
     else:
         n_allies = n_enemies = int(name[0])
-    return SMACLite(n_allies=n_allies, n_enemies=n_enemies, **kwargs)
+    return SMACLite(
+        ally_types=(MARINE,) * n_allies, enemy_types=(MARINE,) * n_enemies,
+        episode_limit=episode_limit or 100, **kwargs,
+    )

@@ -520,6 +520,8 @@ class OnPolicyRunner:
             value_loss=critic_stats[0],
             critic_grad_norm=critic_stats[1],
             mean_step_reward=jnp.mean(data["reward"]),
+            # dead_ratio = 1 − mean(active_masks) (smac_logger.py:115-123)
+            dead_ratio=1.0 - jnp.mean(data["active_masks"]),
             episode_return_sum=jnp.sum(data["emitted_ret"]),
             episode_count=jnp.sum(data["emitted_cnt"]),
             episode_metric_sums={
@@ -1029,6 +1031,7 @@ class OnPolicyRunner:
                     mean_episode_return=last_return,
                     value_loss=float(m["value_loss"]),
                     critic_grad_norm=float(m["critic_grad_norm"]),
+                    dead_ratio=float(m["dead_ratio"]),
                     fps=fps,
                     agent_stats=[
                         dict(

@@ -125,6 +125,126 @@ def test_happo_fp_state_on_smaclite():
     assert np.isfinite(history[-1]["mean_episode_return"])
 
 
+def test_map_registry_reference_parity():
+    """≥15 reference map names resolve with the reference's army sizes
+    (smac_maps.py:16-454)."""
+    from harl_tpu.envs.smaclite.smaclite import MAP_REGISTRY, make_smaclite
+
+    expected = {  # name: (n_agents, n_enemies, limit) from the reference
+        "3m": (3, 3, 60), "8m": (8, 8, 120), "25m": (25, 25, 150),
+        "5m_vs_6m": (5, 6, 70), "8m_vs_9m": (8, 9, 120),
+        "10m_vs_11m": (10, 11, 150), "27m_vs_30m": (27, 30, 180),
+        "MMM": (10, 10, 150), "MMM2": (10, 12, 180),
+        "2s3z": (5, 5, 120), "3s5z": (8, 8, 150),
+        "3s5z_vs_3s6z": (8, 9, 170), "3s_vs_5z": (3, 5, 250),
+        "1c3s5z": (9, 9, 180), "2m_vs_1z": (2, 1, 150),
+        "corridor": (6, 24, 400), "6h_vs_8z": (6, 8, 150),
+        "2s_vs_1sc": (2, 1, 300), "so_many_baneling": (7, 32, 100),
+        "bane_vs_bane": (24, 24, 200), "2c_vs_64zg": (2, 64, 400),
+    }
+    for name, (a, e, lim) in expected.items():
+        assert name in MAP_REGISTRY, name
+        env = make_smaclite(name)
+        assert env.n_agents == a and env.n_enemies == e, name
+        assert env.episode_limit == lim, name
+
+
+def test_heterogeneous_unit_stats():
+    """2s3z carries real stalker/zealot stats incl. Protoss shields."""
+    from harl_tpu.envs.smaclite.smaclite import (
+        STALKER, TYPE_SHIELD, ZEALOT, make_smaclite,
+    )
+
+    env = make_smaclite("2s3z")
+    assert env.ally_types == (STALKER, STALKER, ZEALOT, ZEALOT, ZEALOT)
+    assert env.shield_bits_ally == 1 and env.unit_type_bits == 2
+    s, ts = env.reset(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(s.ally_shield[:2]), 80.0)  # stalker
+    np.testing.assert_allclose(np.asarray(s.ally_shield[2:]), 50.0)  # zealot
+
+
+def test_shield_regen_after_delay():
+    from harl_tpu.envs.smaclite.smaclite import make_smaclite
+
+    env = make_smaclite("3s_vs_3z")
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    s = s._replace(ally_shield=s.ally_shield * 0.0,
+                   ally_hit_t=jnp.full((3,), 50.0))
+    s2, _ = env.step(s, jnp.ones((3, 1), jnp.int32), jax.random.PRNGKey(0))
+    assert np.all(np.asarray(s2.ally_shield) > 0)
+    # recently-hit units do NOT regen
+    s3 = s._replace(ally_hit_t=jnp.zeros((3,)))
+    s4, _ = env.step(s3, jnp.ones((3, 1), jnp.int32), jax.random.PRNGKey(0))
+    assert np.all(np.asarray(s4.ally_shield)[np.asarray(s4.ally_health) > 0] == 0)
+
+
+def test_medivac_heal_mmm():
+    """MMM medivac targets allies: heal restores health and costs energy
+    (StarCraft2_Env.py:782-834)."""
+    from harl_tpu.envs.smaclite.smaclite import MEDIVAC, make_smaclite
+
+    env = make_smaclite("MMM")
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    assert env.ally_types[9] == MEDIVAC
+    s = s._replace(
+        ally_health=s.ally_health.at[0].set(20.0),
+        ally_pos=s.ally_pos.at[9].set(s.ally_pos[0] + 1.0),
+    )
+    av = np.asarray(env._avail(s))
+    assert av[9, 6 + 0] == 1.0  # heal-target slot available
+    acts = np.ones((10,), np.int32)
+    acts[9] = 6 + 0
+    s2, _ = env.step(s, jnp.asarray(acts)[:, None], jax.random.PRNGKey(0))
+    assert float(s2.ally_health[0]) > 20.0
+    assert float(s2.ally_cd[9]) < float(s.ally_cd[9])  # energy spent
+
+
+def test_baneling_suicide_splash():
+    from harl_tpu.envs.smaclite.smaclite import BANELING, make_smaclite
+
+    env = make_smaclite("so_many_baneling")  # 7 zealots vs 32 banelings
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    # put one baneling on top of a zealot cluster
+    s = s._replace(enemy_pos=s.enemy_pos.at[0].set(s.ally_pos[0]))
+    stop = jnp.ones((7, 1), jnp.int32)
+    s2, _ = env.step(s, stop, jax.random.PRNGKey(0))
+    assert float(s2.enemy_health[0]) == 0.0  # exploded
+    # zealot took splash (absorbed by Protoss shield first)
+    total = lambda st: float(st.ally_health[0] + st.ally_shield[0])
+    assert total(s2) < total(s)
+
+
+def test_dead_agent_obs_zero_except_id():
+    """get_obs_agent: dead viewer → all zeros (then one-hot id appended)."""
+    from harl_tpu.envs.smaclite.smaclite import make_smaclite
+
+    env = make_smaclite("3m")
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    s = s._replace(ally_health=s.ally_health.at[0].set(0.0))
+    ts = env._timestep(s, jnp.zeros(()), jnp.zeros((), bool),
+                       jnp.zeros((), bool), jnp.zeros((), bool))
+    obs0 = np.asarray(ts.obs[0])
+    body, ids = obs0[: -env.n_agents], obs0[-env.n_agents:]
+    assert np.all(body == 0.0)
+    np.testing.assert_allclose(ids, [1.0, 0.0, 0.0])
+
+
+def test_fp_state_layout_sizes():
+    """FP agent-state dim follows the get_state_agent arithmetic
+    (StarCraft2_Env.py:1613-1831 with FP.yaml flags)."""
+    from harl_tpu.envs.smaclite.smaclite import make_smaclite
+
+    env = make_smaclite("2s3z", state_type="FP")
+    A, E, n_act, bits, sb = 5, 5, 11, 2, 1
+    nf_ally = 6 + sb + 2 + bits + n_act      # vis,dist,dx,dy,cd,hp,sh,cxy,type,last_a
+    nf_enemy = 6 + sb + bits + 2             # avail,dist,dx,dy,vis,hp,sh,type,cxy
+    nf_own = 5 + sb + 2 + bits + n_act
+    expected = (A - 1) * nf_ally + E * nf_enemy + 4 + nf_own + A
+    assert env.fp_state_dim == expected
+    s, ts = env.reset(jax.random.PRNGKey(0))
+    assert ts.agent_state.shape == (A, expected)
+
+
 def test_smacv2_style_type_randomization():
     """SMACv2 capability-config analogue: per-episode random unit types."""
     env = make_smaclite("protoss_5_vs_5", episode_limit=20)
