@@ -43,6 +43,8 @@ class VCritic:
         self.use_huber_loss = cfg.get("use_huber_loss", True)
         self.huber_delta = cfg.get("huber_delta", 10.0)
         self.use_recurrent_policy = cfg.get("use_recurrent_policy", False)
+        self.use_naive_recurrent = cfg.get("use_naive_recurrent_policy", False)
+        self.use_rnn = self.use_recurrent_policy or self.use_naive_recurrent
         self.data_chunk_length = cfg.get("data_chunk_length", 10)
 
     def init(self, key, example_share_obs):
@@ -84,10 +86,11 @@ class VCritic:
         """Full critic train loop; returns (state, vn, stats[value_loss, grad_norm]).
 
         Recurrent critics use the same chunked-BPTT layout as the actor
-        (recurrent_generator_critic)."""
+        (recurrent_generator_critic); naive-recurrent is the L = T case
+        (naive_recurrent_generator_critic)."""
         T, B = batch.share_obs.shape[:2]
-        if self.use_recurrent_policy:
-            L = self.data_chunk_length
+        if self.use_rnn:
+            L = T if not self.use_recurrent_policy else self.data_chunk_length
             C = B * (T // L)
             M = C
 
@@ -124,7 +127,7 @@ class VCritic:
             else:
                 take = lambda x: jnp.take(x, mb_idx, axis=0)
             so, vp, ret = take(share_obs), take(value_preds), take(returns)
-            if self.use_recurrent_policy:
+            if self.use_rnn:
                 tm = lambda x: jnp.swapaxes(x, 0, 1)
                 values, _ = self.critic.apply(
                     params, tm(so), take(rnn0), tm(take(masks)), seq=True

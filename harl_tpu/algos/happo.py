@@ -63,6 +63,8 @@ class HAPPOActor:
         self.std_x_coef = cfg.get("std_x_coef", 1.0)
         self.std_y_coef = cfg.get("std_y_coef", 0.5)
         self.use_recurrent_policy = cfg.get("use_recurrent_policy", False)
+        self.use_naive_recurrent = cfg.get("use_naive_recurrent_policy", False)
+        self.use_rnn = self.use_recurrent_policy or self.use_naive_recurrent
         self.data_chunk_length = cfg.get("data_chunk_length", 10)
 
     def init(self, key, example_obs) -> Any:
@@ -75,7 +77,7 @@ class HAPPOActor:
 
         Recurrent policies run the whole episode in sequence mode from the
         stored initial hidden state (rnn_states[0:1] in the reference)."""
-        if self.use_recurrent_policy:
+        if self.use_rnn:
             head, _ = self.policy.apply(
                 params, batch.obs, batch.rnn_states[0], batch.masks, seq=True
             )
@@ -112,15 +114,17 @@ class HAPPOActor:
         episode is cut into ``data_chunk_length`` segments whose initial
         hidden states come from the rollout (recurrent_generator_actor,
         on_policy_actor_buffer.py:223-326), and each minibatch of chunks runs
-        the GRU in sequence mode.
+        the GRU in sequence mode. Naive-recurrent path
+        (naive_recurrent_generator_actor, :180-221): minibatches of WHOLE
+        env threads — the degenerate chunking with L = T.
         """
         T, B = batch.obs.shape[:2]
 
         if state_type == "EP":
             advantages = normalize_advantages_masked(advantages, batch.active_masks)
 
-        if self.use_recurrent_policy:
-            L = self.data_chunk_length
+        if self.use_rnn:
+            L = T if not self.use_recurrent_policy else self.data_chunk_length
             assert T % L == 0, "episode_length must be a multiple of data_chunk_length"
             C = B * (T // L)
             M = C
@@ -165,7 +169,7 @@ class HAPPOActor:
                 take = lambda x: jnp.take(x, mb_idx, axis=0)
             o, a, olp, am, ad, fc = map(take, (obs, actions, old_logp, active, adv, fac))
             av = None if avail is None else take(avail)
-            if self.use_recurrent_policy:
+            if self.use_rnn:
                 # (mb, L, ...) → time-major (L, mb, ...) for the GRU scan
                 tm = lambda x: jnp.swapaxes(x, 0, 1)
                 head, _ = self.policy.apply(

@@ -90,8 +90,21 @@ class HATRPOActor(HAPPOActor):
         adv = _flat(advantages)
         fac = _flat(factor)
 
-        def surrogate(params):
+        def forward(params):
+            """Full-batch policy heads, flattened to (T·B, ·). Recurrent
+            policies run the whole episode in sequence mode from the stored
+            initial hidden states (the RNN-aware evaluate_actions of the
+            reference hatrpo.py:222-242)."""
+            if self.use_rnn:
+                head, _ = self.policy.apply(
+                    params, batch.obs, batch.rnn_states[0], batch.masks, seq=True
+                )
+                return jax.tree.map(_flat, head)
             head, _ = self.policy.apply(params, obs)
+            return head
+
+        def surrogate(params):
+            head = forward(params)
             ev = act_evaluate(head, self.action_space, actions, avail, active,
                               self.std_x_coef, self.std_y_coef)
             ratio = aggregate_ratio(ev.log_probs - old_logp, self.action_aggregation)
@@ -108,12 +121,10 @@ class HATRPOActor(HAPPOActor):
         g, _ = ravel_pytree(grads)
         params_flat, unravel_params = ravel_pytree(state.params)
 
-        old_head, _ = self.policy.apply(state.params, obs)
-        old_head = jax.tree.map(jax.lax.stop_gradient, old_head)
+        old_head = jax.tree.map(jax.lax.stop_gradient, forward(state.params))
 
         def kl_fn(params):
-            new_head, _ = self.policy.apply(params, obs)
-            return jnp.mean(self._kl(new_head, old_head))
+            return jnp.mean(self._kl(forward(params), old_head))
 
         kl_grad_fn = jax.grad(lambda p_flat: kl_fn(unravel_params(p_flat)))
 
@@ -151,8 +162,7 @@ class HATRPOActor(HAPPOActor):
         def eval_at(p_flat):
             params = unravel_params(p_flat)
             new_loss, _ = surrogate(params)
-            new_head, _ = self.policy.apply(params, obs)
-            kl = jnp.mean(self._kl(new_head, old_head))
+            kl = jnp.mean(self._kl(forward(params), old_head))
             return new_loss, kl
 
         # backtracking line search (hatrpo.py:134-192)

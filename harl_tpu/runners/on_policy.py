@@ -107,6 +107,10 @@ class OnPolicyRunner:
         self.hidden_sizes = tuple(md["hidden_sizes"])
         self.recurrent_n = md.get("recurrent_n", 1)
         self.use_recurrent_policy = md.get("use_recurrent_policy", False)
+        self.use_naive_recurrent = md.get("use_naive_recurrent_policy", False)
+        # "the policy has a GRU" — chunked vs naive minibatching is decided
+        # inside the actor/critic update (on_policy_actor_buffer.py:180-326)
+        self.use_rnn = self.use_recurrent_policy or self.use_naive_recurrent
 
         # ---- env ----------------------------------------------------------
         if env is None:
@@ -139,7 +143,6 @@ class OnPolicyRunner:
         self.discrete = spaces.space_kind(self.act_spaces[0]) != "Box"
         self.state_type = getattr(env, "state_type", env_args.get("state_type", "EP"))
         if self.state_type == "FP":
-            assert not self.use_recurrent_policy, "recurrent FP critic: not yet supported"
             assert not self.host_mode, "FP state requires a pure-JAX env"
 
         # ---- models / algos ----------------------------------------------
@@ -169,7 +172,7 @@ class OnPolicyRunner:
             policy = StochasticPolicy(
                 action_space=self.act_spaces[i],
                 gain=md.get("gain", 0.01),
-                use_recurrent_policy=self.use_recurrent_policy,
+                use_recurrent_policy=self.use_rnn,
                 recurrent_n=self.recurrent_n,
                 std_x_coef=md.get("std_x_coef", 1.0),
                 std_y_coef=md.get("std_y_coef", 0.5),
@@ -185,7 +188,7 @@ class OnPolicyRunner:
             self.actors = self.actors * self.n_agents
 
         critic_net = VNet(
-            use_recurrent_policy=self.use_recurrent_policy,
+            use_recurrent_policy=self.use_rnn,
             recurrent_n=self.recurrent_n,
             **model_kwargs,
         )
@@ -247,7 +250,10 @@ class OnPolicyRunner:
             active_masks=jnp.ones((B, N, 1)),
             avail=ts.available_actions,
             actor_rnn=tuple(jnp.zeros((B, self.recurrent_n, H)) for _ in range(N)),
-            critic_rnn=jnp.zeros((B, self.recurrent_n, H)),
+            # FP critics run per-(env, agent): the GRU batch axis is B·N
+            critic_rnn=jnp.zeros(
+                (B * N if self.state_type == "FP" else B, self.recurrent_n, H)
+            ),
             ep_ret=jnp.zeros((B,)),
             ep_len=jnp.zeros((B,)),
         )
@@ -263,7 +269,7 @@ class OnPolicyRunner:
             avail_i = None
             if carry.avail is not None:
                 avail_i = carry.avail[:, i, : _space_n(self.act_spaces[i])]
-            if self.use_recurrent_policy:
+            if self.use_rnn:
                 head, h = actor.policy.apply(
                     actor_states[self._sidx(i)].params, obs_i, carry.actor_rnn[i], carry.masks[:, i]
                 )
@@ -292,11 +298,17 @@ class OnPolicyRunner:
         )
         B_, N_ = self.n_rollout_threads, self.n_agents
         if self.state_type == "FP":
-            value = self.critic.get_values(
-                critic_params, carry.share_obs.reshape(B_ * N_, -1)
-            ).reshape(B_, N_, 1)
-            new_critic_rnn = carry.critic_rnn
-        elif self.use_recurrent_policy:
+            so = carry.share_obs.reshape(B_ * N_, -1)
+            if self.use_rnn:
+                value, new_critic_rnn = self.critic.get_values(
+                    critic_params, so, carry.critic_rnn,
+                    carry.masks.reshape(B_ * N_, 1),
+                )
+            else:
+                value = self.critic.get_values(critic_params, so)
+                new_critic_rnn = carry.critic_rnn
+            value = value.reshape(B_, N_, 1)
+        elif self.use_rnn:
             value, new_critic_rnn = self.critic.get_values(
                 critic_params, carry.share_obs, carry.critic_rnn, carry.masks[:, 0]
             )
@@ -335,7 +347,10 @@ class OnPolicyRunner:
             actor_rnn=tuple(
                 jnp.where(done_env[:, None, None], 0.0, h) for h in new_actor_rnn
             ),
-            critic_rnn=jnp.where(done_env[:, None, None], 0.0, new_critic_rnn),
+            critic_rnn=jnp.where(
+                (jnp.repeat(done_env, N) if self.state_type == "FP"
+                 else done_env)[:, None, None],
+                0.0, new_critic_rnn),
             ep_ret=jnp.where(done_env, 0.0, ep_ret),
             ep_len=jnp.where(done_env, 0.0, ep_len),
         )
@@ -380,7 +395,7 @@ class OnPolicyRunner:
             actor_states, critic_state, vn, data,
             first_masks0=ts.carry.masks[:, 0],
             last_share_obs=carry.share_obs,
-            last_masks0=carry.masks[:, 0],
+            last_masks=carry.masks,
             last_critic_rnn=carry.critic_rnn,
             k_order=k_order, k_update=k_update, k_critic=k_critic,
         )
@@ -389,7 +404,7 @@ class OnPolicyRunner:
 
     def update_phase(
         self, actor_states, critic_state, vn, data,
-        first_masks0, last_share_obs, last_masks0, last_critic_rnn,
+        first_masks0, last_share_obs, last_masks, last_critic_rnn,
         k_order, k_update, k_critic,
     ):
         """Returns + sequential update + critic train — shared by the pure-JAX
@@ -399,12 +414,18 @@ class OnPolicyRunner:
         )
         # ---- returns ------------------------------------------------------
         if self.state_type == "FP":
-            next_value = self.critic.get_values(
-                critic_state.params, last_share_obs.reshape(B * N, -1)
-            ).reshape(B, N, 1)
-        elif self.use_recurrent_policy:
+            so = last_share_obs.reshape(B * N, -1)
+            if self.use_rnn:
+                next_value, _ = self.critic.get_values(
+                    critic_state.params, so, last_critic_rnn,
+                    last_masks.reshape(B * N, 1),
+                )
+            else:
+                next_value = self.critic.get_values(critic_state.params, so)
+            next_value = next_value.reshape(B, N, 1)
+        elif self.use_rnn:
             next_value, _ = self.critic.get_values(
-                critic_state.params, last_share_obs, last_critic_rnn, last_masks0
+                critic_state.params, last_share_obs, last_critic_rnn, last_masks[:, 0]
             )
         else:
             next_value = self.critic.get_values(critic_state.params, last_share_obs)
@@ -596,7 +617,7 @@ class OnPolicyRunner:
     def _host_policy_step(self, actor_states, critic_params, carry: RolloutCarry, key):
         """Jitted policy+value step for host-env collection."""
         actions_stacked, acts, logps, new_rnn = self._policy_step(actor_states, carry, key)
-        if self.use_recurrent_policy:
+        if self.use_rnn:
             value, new_critic_rnn = self.critic.get_values(
                 critic_params, carry.share_obs, carry.critic_rnn, carry.masks[:, 0]
             )
@@ -696,7 +717,7 @@ class OnPolicyRunner:
             state.actors, state.critic, state.value_norm, data,
             first_masks0=state.carry.masks[:, 0],
             last_share_obs=carry.share_obs,
-            last_masks0=carry.masks[:, 0],
+            last_masks=carry.masks,
             last_critic_rnn=carry.critic_rnn,
             k_order=k_order, k_update=k_update, k_critic=k_critic,
         )
@@ -779,7 +800,7 @@ class OnPolicyRunner:
                 avail_i = None
                 if avail is not None:
                     avail_i = avail[:, i, : _space_n(self.act_spaces[i])]
-                if self.use_recurrent_policy:
+                if self.use_rnn:
                     head, h = actor.policy.apply(
                         ts.actors[self._sidx(i)].params, obs_i, rnn[i],
                         masks[:, None],

@@ -170,3 +170,23 @@ def test_happo_recurrent_policy():
     )
     ret, _ = runner.evaluate(new_state, 4, eval_episodes=4)
     assert np.isfinite(ret)
+
+
+def test_happo_naive_recurrent_policy():
+    """Naive-recurrent generator: whole-thread minibatches, L = T
+    (on_policy_actor_buffer.py:180-221)."""
+    cfg = _cfg(**{"model.use_naive_recurrent_policy": True})
+    cfg["algo"]["actor_num_mini_batch"] = 2
+    cfg["algo"]["critic_num_mini_batch"] = 2
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "pettingzoo_mpe", "exp_name": "test"},
+        cfg,
+        {"scenario": "simple_spread_v2", "continuous_actions": True, "max_cycles": 10},
+    )
+    assert runner.use_rnn and not runner.use_recurrent_policy
+    state = runner.init_state(0)
+    new_state, metrics = runner._train_iteration(state)
+    assert np.isfinite(float(metrics["value_loss"]))
+    p0 = jax.tree_util.tree_leaves(state.actors[0].params)[0]
+    p1 = jax.tree_util.tree_leaves(new_state.actors[0].params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))

@@ -271,3 +271,23 @@ def test_smacv2_style_type_randomization():
     )
     _, history = runner.run(seed=1)
     assert np.isfinite(history[-1]["mean_episode_return"])
+
+
+def test_happo_recurrent_fp_critic():
+    """Recurrent FP critic: per-(env, agent) GRU state through rollout and
+    chunked-BPTT critic updates."""
+    from harl_tpu.runners.on_policy import OnPolicyRunner
+    from tests.test_happo import _cfg
+
+    cfg = _cfg(**{"model.use_recurrent_policy": True, "model.data_chunk_length": 5})
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "smaclite", "exp_name": "t"},
+        cfg,
+        {"map_name": "3m", "episode_limit": 10, "state_type": "FP"},
+    )
+    assert runner.state_type == "FP" and runner.use_rnn
+    state = runner.init_state(1)
+    B, N = runner.n_rollout_threads, runner.n_agents
+    assert state.carry.critic_rnn.shape[0] == B * N
+    new_state, metrics = runner._train_iteration(state)
+    assert np.isfinite(float(metrics["value_loss"]))
