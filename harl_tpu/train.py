@@ -77,13 +77,31 @@ def main(argv=None):
     else:
         from harl_tpu.runners.off_policy import OffPolicyRunner as Runner
 
+    import os
+
+    import jax
+
+    # ---- multi-host init over DCN (jax.distributed) -----------------------
+    # CLI: --num_processes N --coordinator host:port --process_id K
+    # (process_id defaults to $JAX_PROCESS_ID for launcher integration)
+    dev = algo_args.get("device", {}) or {}
+    num_processes = dev.get("num_processes")
+    if num_processes and num_processes > 1:
+        from harl_tpu.parallel.mesh import distributed_init
+
+        process_id = dev.get("process_id")
+        if process_id is None:
+            process_id = int(os.environ.get("JAX_PROCESS_ID", 0))
+        distributed_init(dev.get("coordinator"), num_processes, process_id)
+        print(
+            f"jax.distributed: process {jax.process_index()}/{jax.process_count()}"
+            f" — {len(jax.devices())} global devices"
+        )
+
     runner = Runner(args, algo_args, env_args)
     logger = TrainLogger(args, algo_args, env_args, runner.n_agents, log_dir)
     mesh = None
-    dev = algo_args.get("device", {}) or {}
     n_devices = dev.get("n_devices")
-    import jax
-
     if (n_devices and n_devices > 1) or (n_devices is None and len(jax.devices()) > 1):
         from harl_tpu.parallel.mesh import make_mesh
 

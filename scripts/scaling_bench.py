@@ -14,12 +14,17 @@ Usage:
         python scripts/scaling_bench.py 64 16
 """
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax
+
+# honor JAX_PLATFORMS even though the axon sitecustomize already imported jax
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def run(per_device_batch: int, episode_length: int):
