@@ -963,13 +963,21 @@ class OffPolicyRunner:
         history = []
         t_start = time.time()
         last_return = float("nan")
+        # episode accounting accumulates ACROSS collect blocks between logs —
+        # a single train_interval window usually contains no episode ends
+        acc_ret, acc_cnt = 0.0, 0.0
         for block in range(1, total_blocks + 1):
             state, cmetrics = self._collect(state)
             state, tmetrics = self._train(state)
+            if block % max(blocks_per_eval // 8, 1) == 0:
+                cm = jax.device_get(cmetrics)
+                acc_ret += float(cm["episode_return_sum"])
+                acc_cnt += float(cm["episode_count"])
             if block % blocks_per_eval == 0 or block == total_blocks:
                 m = jax.device_get({**cmetrics, **tmetrics})
-                if m["episode_count"] > 0:
-                    last_return = float(m["episode_return_sum"] / m["episode_count"])
+                if acc_cnt > 0:
+                    last_return = acc_ret / acc_cnt
+                    acc_ret, acc_cnt = 0.0, 0.0
                 steps = self.warmup_steps + block * self.train_interval * self.n_rollout_threads
                 rec = dict(
                     steps=steps,
@@ -1011,13 +1019,17 @@ class OffPolicyRunner:
         history = []
         t_start = time.time()
         last_return = float("nan")
+        acc_ret, acc_cnt = 0.0, 0.0
         for block in range(1, total_blocks + 1):
             state, cm = self._host_steps(state, self.train_interval, explore=True)
             state, tm = self._train(state)
+            acc_ret += float(cm["episode_return_sum"])
+            acc_cnt += float(cm["episode_count"])
             if block % blocks_per_eval == 0 or block == total_blocks:
                 m = jax.device_get({**cm, **tm})
-                if m["episode_count"] > 0:
-                    last_return = float(m["episode_return_sum"] / m["episode_count"])
+                if acc_cnt > 0:
+                    last_return = acc_ret / acc_cnt
+                    acc_ret, acc_cnt = 0.0, 0.0
                 steps = self.warmup_steps + block * self.train_interval * self.n_rollout_threads
                 rec = dict(
                     steps=steps,
