@@ -81,6 +81,12 @@ def make_env(env_name: str, env_args: dict):
 
         return LAGEnv(env_args)
     if env_name in ("dexhands", "dexhands_jax"):
+        from harl_tpu.envs.dexhands_jax.manip import MANIP_TASKS
+
+        if env_args.get("task", "ShadowHandOver") in MANIP_TASKS:
+            from harl_tpu.envs.dexhands_jax.manip import make_manip
+
+            return make_manip(env_args)
         from harl_tpu.envs.dexhands_jax.handover import make_handover
 
         return make_handover(env_args)

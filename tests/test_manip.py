@@ -1,0 +1,98 @@
+"""Tests for the dexhands_jax manipulation family (doors/cup/table tasks)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from harl_tpu.envs.core import VecEnv
+from harl_tpu.envs.dexhands_jax.manip import MANIP_TASKS, make_manip
+
+
+def test_all_tasks_step_finite():
+    for task in MANIP_TASKS:
+        env = make_manip({"task": task})
+        s, ts = env.reset(jax.random.PRNGKey(0))
+        assert ts.obs.shape == (2, env.obs_dim)
+        assert ts.share_obs.shape == (env.state_dim,)
+        key = jax.random.PRNGKey(1)
+        for t in range(10):
+            key, k = jax.random.split(key)
+            a = jax.random.uniform(k, (2, 20), minval=-1, maxval=1)
+            s, ts = env.step(s, a, k)
+        assert np.isfinite(np.asarray(ts.obs)).all(), task
+        assert np.isfinite(float(ts.rewards[0, 0])), task
+
+
+def test_door_moves_under_contact():
+    """Scripted finger curls into the handle must swing the door."""
+    env = make_manip({"task": "ShadowHandDoorOpenOutward"})
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    a = np.zeros((2, 20))
+    a[:, 1::4] = 0.6
+    a[:, 2::4] = 0.6
+    a[:, 3::4] = 0.3
+    step = jax.jit(lambda s: env.step(s, jnp.asarray(a), jax.random.PRNGKey(0)))
+    for _ in range(60):
+        s, _ = step(s)
+    # a sustained static curl holds the spring-loaded door displaced —
+    # proof that fingertip contacts couple into the hinge DOF
+    assert abs(float(s.hinge)) > 0.005
+
+
+def test_door_spring_returns():
+    """Released door relaxes back toward its start angle (return spring)."""
+    env = make_manip({"task": "ShadowHandDoorOpenOutward"})
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    s = s._replace(hinge=jnp.asarray(0.3))
+    zero = jnp.zeros((2, 20)) - 1.0  # fingers fully open, away from handle
+    step = jax.jit(lambda s: env.step(s, zero, jax.random.PRNGKey(0)))
+    # overdamped return: time constant c/k = 3.3 s ⇒ ~5 s to decay 78%
+    for _ in range(300):
+        s, _ = step(s)
+    assert abs(float(s.hinge)) < 0.1
+
+
+def test_lift_success_requires_held_not_thrown():
+    """An object flying through the goal region at speed does not count."""
+    env = make_manip({"task": "ShadowHandLiftUnderarm"})
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    goal = np.asarray(env._obj_goals()[0])
+    fast = s._replace(obj_pos=jnp.asarray(goal)[None],
+                      obj_vel=jnp.asarray([[0.0, 0.0, 3.0]]))
+    _, ts = env.step(fast, jnp.zeros((2, 20)), jax.random.PRNGKey(0))
+    assert float(ts.metrics["won"]) == 0.0
+
+
+def test_blocks_rest_on_table():
+    env = make_manip({"task": "ShadowHandPushBlock"})
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    zero = jnp.zeros((2, 20)) - 1.0
+    step = jax.jit(lambda s: env.step(s, zero, jax.random.PRNGKey(0)))
+    for _ in range(50):
+        s, ts = step(s)
+    z = np.asarray(s.obj_pos[:, 2])
+    assert np.all(np.abs(z - (-0.05 + 0.03)) < 0.01), z  # resting at table+r
+    assert not bool(ts.dones.all())
+
+
+def test_vmap_batch_and_registry():
+    from harl_tpu.envs import make_env
+
+    env = make_env("dexhands_jax", {"task": "ShadowHandSwingCup"})
+    vec = VecEnv(env, 4)
+    s, ts = vec.reset(jax.random.PRNGKey(0))
+    a = jnp.zeros((4, 2, 20))
+    tr = jax.jit(vec.step)(s, a, jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(tr.ts.obs)).all()
+
+
+def test_happo_trains_on_door():
+    from harl_tpu.runners.on_policy import OnPolicyRunner
+    from tests.test_happo import _cfg
+
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "dexhands_jax", "exp_name": "t"},
+        _cfg(),
+        {"task": "ShadowHandDoorOpenOutward", "episode_limit": 10},
+    )
+    state, history = runner.run(seed=1)
+    assert np.isfinite(history[-1]["mean_episode_return"])
