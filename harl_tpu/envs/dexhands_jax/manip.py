@@ -228,8 +228,10 @@ class ShadowHandManip:
         k1, k2 = jax.random.split(key)
         theta = jnp.zeros((2, N_JOINTS))
         if self.is_hinge:
-            obj_pos = jnp.zeros((0, 3))
-            obj_vel = jnp.zeros((0, 3))
+            # one dummy row, not (0, 3): zero-size leaves break orbax
+            # checkpointing of the env carry
+            obj_pos = jnp.zeros((1, 3))
+            obj_vel = jnp.zeros((1, 3))
             hinge = jnp.asarray(c["theta0"]) + 0.02 * jax.random.normal(k1, ())
         else:
             starts = jnp.asarray([

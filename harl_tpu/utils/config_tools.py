@@ -61,6 +61,8 @@ def get_task_name(env: str, env_args: Dict) -> str:
         return env_args.get("env_name", "unknown")
     if env == "gym":
         return env_args.get("scenario", "unknown")
+    if env in ("dexhands", "dexhands_jax"):
+        return env_args.get("task", "ShadowHandOver")
     return env_args.get("scenario", env)
 
 
