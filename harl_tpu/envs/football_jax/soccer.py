@@ -94,7 +94,13 @@ class AcademySoccer:
     n_defenders: int = 2          # scripted, last one is the keeper
     episode_limit: int = 400
     rewards: str = "scoring,checkpoints"
+    representation: str = "simple"   # "simple" (vector) | "pixels" (SMM-style)
     metric_keys = ("won",)
+
+    # super-minimap raster (the gfootball pixel path, football_env.py:34-35,
+    # 132-154): channels = [teammates, opponents, ball, self]
+    SMM_H = 24
+    SMM_W = 32
 
     @property
     def obs_dim(self) -> int:
@@ -108,6 +114,8 @@ class AcademySoccer:
 
     @property
     def observation_space(self):
+        if self.representation == "pixels":
+            return [spaces.ImageBox(self.SMM_H, self.SMM_W, 4)] * self.n_agents
         return [spaces.Box.create(-jnp.inf, jnp.inf, self.obs_dim)] * self.n_agents
 
     @property
@@ -259,6 +267,28 @@ class AcademySoccer:
             new_state, reward, done, bad, goal_scored.astype(jnp.float32))
 
     # ---------------------------------------------------------- observation
+    def _pixel_obs(self, state) -> jnp.ndarray:
+        """(N, H, W, 4) super-minimap rasters: [teammates, opponents, ball,
+        self] painted at 255 — the gfootball 'extracted' SMM convention."""
+        H, W = self.SMM_H, self.SMM_W
+
+        def to_idx(pos):  # pitch x∈[-1.05,1.05], y∈[-0.45,0.45] → (row, col)
+            col = jnp.clip(((pos[..., 0] + 1.05) / 2.1 * (W - 1)).astype(jnp.int32), 0, W - 1)
+            row = jnp.clip(((pos[..., 1] + 0.45) / 0.9 * (H - 1)).astype(jnp.int32), 0, H - 1)
+            return row, col
+
+        lr, lc = to_idx(state.left_pos)
+        rr, rc = to_idx(state.right_pos)
+        br, bc = to_idx(state.ball_pos)
+        team = jnp.zeros((H, W)).at[lr, lc].set(255.0)
+        opp = jnp.zeros((H, W)).at[rr, rc].set(255.0)
+        ball = jnp.zeros((H, W)).at[br, bc].set(255.0)
+        rows = []
+        for i in range(self.n_agents):
+            me = jnp.zeros((H, W)).at[lr[i], lc[i]].set(255.0)
+            rows.append(jnp.stack([team, opp, ball, me], axis=-1))
+        return jnp.stack(rows)
+
     def _timestep(self, state, reward, done, bad, scored) -> TimeStep:
         N = self.n_agents
         own_flags = jax.nn.one_hot(state.owner, 3)
@@ -283,6 +313,8 @@ class AcademySoccer:
                        ).astype(jnp.float32)[None]]
             rows.append(jnp.concatenate(parts))
         obs = jnp.stack(rows)
+        if self.representation == "pixels":
+            obs = self._pixel_obs(state)
         return TimeStep(
             obs=obs.astype(jnp.float32),
             share_obs=share.astype(jnp.float32),
@@ -306,4 +338,5 @@ def make_soccer(env_args: dict) -> AcademySoccer:
     return AcademySoccer(
         n_agents=n_agents, n_defenders=n_defs,
         episode_limit=env_args.get("episode_limit", 400),
-        rewards=env_args.get("rewards", "scoring,checkpoints"))
+        rewards=env_args.get("rewards", "scoring,checkpoints"),
+        representation=env_args.get("representation", "simple"))

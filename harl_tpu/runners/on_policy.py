@@ -139,6 +139,7 @@ class OnPolicyRunner:
         self.obs_spaces = env.observation_space
         self.share_obs_space = env.share_observation_space[0]
         self.act_spaces = env.action_space
+        self.image_obs = len(self.obs_spaces[0].shape) == 3  # (H, W, C) → CNN
         self.obs_dims = [sp.shape[0] for sp in self.obs_spaces]
         self.discrete = spaces.space_kind(self.act_spaces[0]) != "Box"
         self.state_type = getattr(env, "state_type", env_args.get("state_type", "EP"))
@@ -172,6 +173,7 @@ class OnPolicyRunner:
             policy = StochasticPolicy(
                 action_space=self.act_spaces[i],
                 gain=md.get("gain", 0.01),
+                image_input=self.image_obs,
                 use_recurrent_policy=self.use_rnn,
                 recurrent_n=self.recurrent_n,
                 std_x_coef=md.get("std_x_coef", 1.0),
@@ -206,6 +208,13 @@ class OnPolicyRunner:
             self._train_iteration = jax.jit(self.train_iteration)
             self._eval_fn = jax.jit(self.eval_rollout, static_argnums=(1,))
 
+    def _obs_i(self, obs, i):
+        """Agent i's obs slice. Vector obs are padded to max_obs_dim and
+        sliced back; image obs (…, N, H, W, C) pass through whole."""
+        if self.image_obs:
+            return obs[..., i, :, :, :]
+        return obs[..., i, : self.obs_dims[i]]
+
     # ------------------------------------------------------------------ init
     def init_state(self, seed: int) -> TrainState:
         rng = jax.random.PRNGKey(seed)
@@ -228,7 +237,7 @@ class OnPolicyRunner:
         n_states = 1 if self.share_param else self.n_agents
         for i in range(n_states):
             actor = self.actors[i]
-            obs_i = ts.obs[:, i, : self.obs_dims[i]]
+            obs_i = self._obs_i(ts.obs, i)
             params = actor.init(k_actors[i], obs_i)
             actor_states.append(AgentTrainState(params, actor.tx.init(params)))
         cparams = self.critic.init(
@@ -265,7 +274,7 @@ class OnPolicyRunner:
         """All agents act once. Returns stacked actions + per-agent outputs."""
         acts, logps, new_rnn = [], [], []
         for i, actor in enumerate(self.actors):
-            obs_i = carry.obs[:, i, : self.obs_dims[i]]
+            obs_i = self._obs_i(carry.obs, i)
             avail_i = None
             if carry.avail is not None:
                 avail_i = carry.avail[:, i, : _space_n(self.act_spaces[i])]
@@ -472,7 +481,7 @@ class OnPolicyRunner:
                 avail_i = data["avail"][:, :, i, : _space_n(self.act_spaces[i])]
             batches.append(
                 ActorBatch(
-                    obs=data["obs"][:, :, i, : self.obs_dims[i]],
+                    obs=self._obs_i(data["obs"], i),
                     rnn_states=data["actor_rnn"][i],
                     actions=data["actions"][i],
                     logp=data["logp"][i],
@@ -796,7 +805,7 @@ class OnPolicyRunner:
             env_state, obs, avail, ep_ret, masks, ret_sum, cnt, msums, rnn = carry
             acts, new_rnn = [], []
             for i, actor in enumerate(self.actors):
-                obs_i = obs[:, i, : self.obs_dims[i]]
+                obs_i = self._obs_i(obs, i)
                 avail_i = None
                 if avail is not None:
                     avail_i = avail[:, i, : _space_n(self.act_spaces[i])]
@@ -941,7 +950,7 @@ class OnPolicyRunner:
             env_state, obs, avail = carry
             acts = []
             for i, actor in enumerate(self.actors):
-                obs_i = obs[:, i, : self.obs_dims[i]]
+                obs_i = self._obs_i(obs, i)
                 avail_i = None
                 if avail is not None:
                     avail_i = avail[:, i, : _space_n(self.act_spaces[i])]

@@ -37,6 +37,27 @@ class Box:
 
 
 @dataclasses.dataclass(frozen=True)
+class ImageBox:
+    """Pixel observation space (H, W, C), channel-last — the TPU-native
+    layout (reference: 3-dim gym Box routed to CNNBase,
+    stochastic_policy.py:34-36)."""
+
+    height: int
+    width: int
+    channels: int
+    low: float = 0.0
+    high: float = 255.0
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return (self.height, self.width, self.channels)
+
+    @property
+    def dim(self) -> int:
+        return self.height * self.width * self.channels
+
+
+@dataclasses.dataclass(frozen=True)
 class Discrete:
     """Single categorical action (reference: gym.spaces.Discrete)."""
 
@@ -70,6 +91,8 @@ def space_kind(space) -> str:
     """Mirror the reference's class-name dispatch (act.py:24, envs_tools.py:15-46)."""
     if isinstance(space, Box):
         return "Box"
+    if isinstance(space, ImageBox):
+        return "ImageBox"
     if isinstance(space, Discrete):
         return "Discrete"
     if isinstance(space, MultiDiscrete):

@@ -126,3 +126,33 @@ def test_happo_trains_on_soccer():
     state = runner.init_state(0)
     state, metrics = runner._train_iteration(state)
     assert np.isfinite(float(metrics["value_loss"]))
+
+
+def test_pixel_representation_trains_cnn():
+    """representation: pixels → (24, 32, 4) SMM rasters through CNNBase
+    (the football pixel path, football_env.py:132-154)."""
+    import jax
+    from harl_tpu.runners.on_policy import OnPolicyRunner
+    from tests.test_happo import _cfg
+
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "football_jax", "exp_name": "t"},
+        _cfg(),
+        {"scenario": "academy_3_vs_1_with_keeper", "representation": "pixels",
+         "episode_limit": 10},
+    )
+    assert runner.image_obs
+    state = runner.init_state(1)
+    assert state.carry.obs.shape[-3:] == (24, 32, 4)
+    # the conv kernel exists and trains
+    flat = jax.tree_util.tree_flatten_with_path(state.actors[0].params)[0]
+    conv_before = [l for p, l in flat if any("conv" in str(k) for k in p)]
+    assert conv_before
+    new_state, metrics = runner._train_iteration(state)
+    assert np.isfinite(float(metrics["value_loss"]))
+    flat2 = jax.tree_util.tree_flatten_with_path(new_state.actors[0].params)[0]
+    conv_after = [l for p, l in flat2 if any("conv" in str(k) for k in p)]
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(conv_before, conv_after)
+    )
