@@ -142,7 +142,11 @@ class OffPolicyRunner:
         self.discrete = spaces.space_kind(self.act_spaces[0]) != "Box"
         self.state_type = getattr(env, "state_type", env_args.get("state_type", "EP"))
         if self.state_type == "FP":
-            assert self.algo == "hasac", "off-policy FP state is a HASAC path"
+            # FP serves the algos whose critics carry the reference's FP
+            # tiling (soft_twin_continuous_q_critic.py:128-147 and the
+            # continuous family); the joint-action DiscreteQCritic (had3qn)
+            # has no FP form in the reference either
+            assert self.algo != "had3qn", "off-policy FP: had3qn unsupported"
             assert not self.host_mode
 
         cfg = {**al, **md, "use_proper_time_limits": self.use_proper_time_limits,
@@ -526,6 +530,9 @@ class OffPolicyRunner:
                     joint = jnp.concatenate(
                         [a_i if j == i else actions[j] for j in range(N)], axis=-1
                     )
+                    if self.state_type == "FP":
+                        # agent-major state rows share the same transitions
+                        joint = jnp.tile(joint, (N, 1))
                     q = self.critic.get_values(critic_state, sp.share_obs, joint)
                     return -jnp.mean(q)
 
@@ -556,6 +563,8 @@ class OffPolicyRunner:
                 joint = jnp.concatenate(
                     [a_i if j == i else sp.actions[j] for j in range(N)], axis=-1
                 )
+                if self.state_type == "FP":
+                    joint = jnp.tile(joint, (N, 1))
                 q = self.critic.get_values(critic_state, sp.share_obs, joint)
                 return -jnp.mean(q)
 

@@ -199,3 +199,69 @@ def test_hasac_fp_on_smaclite():
     state, _ = runner._collect(state)
     state, m = runner._train(state)
     assert np.isfinite(float(m["critic_loss"]))
+
+
+class _TinyFPBoxEnv:
+    """Minimal continuous-action FP env: 2 agents on a 1-D point-mass each;
+    agent_state = EP state ⊕ own view ⊕ one-hot id (the FP contract)."""
+
+    n_agents = 2
+    state_type = "FP"
+
+    def __init__(self):
+        from harl_tpu.utils import spaces as S
+
+        self.observation_space = [S.Box.create(-10, 10, 2)] * 2
+        self.share_observation_space = [S.Box.create(-10, 10, 8)] * 2
+        self.action_space = [S.Box.create(-1.0, 1.0, 1)] * 2
+
+    def _ts(self, pos, vel, rew, done, bad):
+        from harl_tpu.envs.core import TimeStep
+
+        obs = jnp.stack([jnp.stack([pos[0], vel[0]]), jnp.stack([pos[1], vel[1]])])
+        ep = jnp.concatenate([pos, vel])
+        agent_state = jnp.stack([
+            jnp.concatenate([ep, obs[0], jnp.array([1.0, 0.0])]),
+            jnp.concatenate([ep, obs[1], jnp.array([0.0, 1.0])]),
+        ])
+        return TimeStep(
+            obs=obs, share_obs=ep,
+            rewards=jnp.broadcast_to(rew, (2, 1)).astype(jnp.float32),
+            dones=jnp.broadcast_to(done, (2,)),
+            bad_transition=bad, available_actions=None,
+            agent_state=agent_state)
+
+    def reset(self, key):
+        pos = jax.random.uniform(key, (2,), minval=-1, maxval=1)
+        vel = jnp.zeros(2)
+        state = (pos, vel, jnp.zeros((), jnp.int32))
+        return state, self._ts(pos, vel, jnp.zeros(()), jnp.zeros((), bool),
+                               jnp.zeros((), bool))
+
+    def step(self, state, actions, key):
+        del key
+        pos, vel, t = state
+        a = jnp.asarray(actions).reshape(2)
+        vel = 0.9 * vel + 0.1 * a
+        pos = pos + 0.1 * vel
+        rew = -jnp.sum(pos ** 2)
+        t = t + 1
+        trunc = t >= 8
+        return (pos, vel, t), self._ts(pos, vel, rew, trunc, trunc)
+
+
+@pytest.mark.parametrize("algo", ["haddpg", "hatd3", "matd3"])
+def test_continuous_fp_off_policy(algo):
+    """FP buffers serve the whole continuous off-policy family, not just
+    HASAC (reference off_policy_buffer_fp.py is algo-agnostic)."""
+    algo_args, _ = _off_cfg(algo)
+    runner = OffPolicyRunner(
+        {"algo": algo, "env": "x", "exp_name": "t"}, algo_args, {},
+        env=_TinyFPBoxEnv(),
+    )
+    assert runner.state_type == "FP"
+    state = runner.init_state(1)
+    state = runner._warmup(state)
+    state, _ = runner._collect(state)
+    state, m = runner._train(state)
+    assert np.isfinite(float(m["critic_loss"]))
