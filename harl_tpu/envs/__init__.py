@@ -40,6 +40,10 @@ def make_env(env_name: str, env_args: dict):
             from harl_tpu.envs.mamujoco_jax.coupled import make_coupled
 
             return make_coupled(env_args)
+        if scenario.startswith("Reacher"):
+            from harl_tpu.envs.mamujoco_jax.reacher import make_reacher
+
+            return make_reacher(env_args)
         if scenario == "manyagent_ant":
             from harl_tpu.envs.mamujoco_jax.manyagent_ant import make_manyagent_ant
 
