@@ -40,6 +40,10 @@ def make_env(env_name: str, env_args: dict):
             from harl_tpu.envs.mamujoco_jax.coupled import make_coupled
 
             return make_coupled(env_args)
+        if scenario.startswith("Humanoid"):
+            from harl_tpu.envs.mamujoco_jax.humanoid import make_humanoid
+
+            return make_humanoid(env_args)
         if scenario.startswith("Reacher"):
             from harl_tpu.envs.mamujoco_jax.reacher import make_reacher
 
