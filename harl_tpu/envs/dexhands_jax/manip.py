@@ -90,6 +90,33 @@ MANIP_TASKS = {
     "ShadowHandDoorCloseOutward": {**_DOOR, "theta0": 0.5, "theta_goal": 0.0},
     "ShadowHandDoorCloseInward": {**_DOOR, "theta0": -0.5, "theta_goal": 0.0},
     "ShadowHandSwingCup": {**_CUP, "theta0": 0.0, "theta_goal": float(np.pi)},
+    # scissors (shadow_hand_scissors.py): one hinge blade pair, spring toward
+    # closed — both hands must pry the handles apart to the open angle
+    "ShadowHandScissors": dict(
+        kind="hinge", **_HANDS,
+        hinge_pos=(0.0, 0.0, 0.04),
+        arms=((0.07, 0.0, 0.0), (-0.07, 0.0, 0.0)),
+        inertia=0.006, damping=0.2, spring=0.8, theta_limits=(-0.1, 1.0),
+        success_tol=0.12, theta0=0.0, theta_goal=0.6,
+    ),
+    # switch (shadow_hand_switch.py): lever pressed through −θ against a
+    # return spring toward up
+    "ShadowHandSwitch": dict(
+        kind="hinge", **_HANDS,
+        hinge_pos=(-0.10, 0.0, 0.06),
+        arms=((0.10, 0.0, 0.0),),
+        inertia=0.02, damping=0.8, spring=1.2, theta_limits=(-0.8, 0.1),
+        success_tol=0.1, theta0=0.0, theta_goal=-0.5,
+    ),
+    # bottle cap (shadow_hand_bottle_cap.py): one hand steadies, the other
+    # twists the low-inertia cap through a large unscrewing angle
+    "ShadowHandBottleCap": dict(
+        kind="hinge", **_HANDS,
+        hinge_pos=(0.0, 0.0, 0.05),
+        arms=((0.06, 0.0, 0.0),),
+        inertia=0.002, damping=0.04, spring=0.0, theta_limits=(-0.2, 2.4),
+        success_tol=0.25, theta0=0.0, theta_goal=1.8,
+    ),
     # table tasks: (radius, mass, start xy, goal offset) per object
     "ShadowHandLiftUnderarm": dict(
         kind="table", **_HANDS,
@@ -111,6 +138,30 @@ MANIP_TASKS = {
         # block 0 to the target point; block 1 on top of block 0
         goals=((0.0, 0.0, 0.0), (0.0, 0.0, 0.07)),
         success_tol=0.045,
+    ),
+    # pen (shadow_hand_pen.py): one hand holds, the other pulls the light
+    # cap up and off-axis to the removed pose
+    "ShadowHandPen": dict(
+        kind="table", **_HANDS,
+        radii=(0.02,), masses=(0.05,),
+        starts=((0.0, 0.0),), goals=((0.06, 0.0, 0.12),),
+        success_tol=0.05,
+    ),
+    # grasp-and-place (shadow_hand_grasp_and_place.py): carry the block
+    # sideways into the bucket position
+    "ShadowHandGraspAndPlace": dict(
+        kind="table", **_HANDS,
+        radii=(0.03,), masses=(0.15,),
+        starts=((0.0, -0.02),), goals=((0.12, 0.0, 0.0),),
+        success_tol=0.04,
+    ),
+    # kettle (shadow_hand_kettle.py): both hands raise the heavy kettle to
+    # the tilted pour pose above the bucket
+    "ShadowHandKettle": dict(
+        kind="table", **_HANDS,
+        radii=(0.05,), masses=(0.8,),
+        starts=((0.0, 0.0),), goals=((0.06, 0.0, 0.18),),
+        success_tol=0.06,
     ),
 }
 
