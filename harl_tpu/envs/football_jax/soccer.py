@@ -79,12 +79,17 @@ class SoccerState(NamedTuple):
 
 
 SCENARIOS = {
-    # name: (n_agents, n_defenders incl. keeper, spawn)
-    "academy_3_vs_1_with_keeper": (3, 2),
-    "academy_pass_and_shoot_with_keeper": (2, 2),
-    "academy_run_pass_and_shoot_with_keeper": (2, 2),
-    "academy_counterattack_easy": (4, 2),
-    "academy_corner": (4, 3),
+    # name: (n_agents, n_defenders incl. keeper, attacker spawn x, chase)
+    # chase is the outfield-defender speed multiplier (0 → "lazy" statues,
+    # the gfootball 11_vs_11 single_goal_versus_lazy setup)
+    "academy_3_vs_1_with_keeper": (3, 2, 0.45, 1.05),
+    "academy_pass_and_shoot_with_keeper": (2, 2, 0.45, 1.05),
+    "academy_run_pass_and_shoot_with_keeper": (2, 2, 0.45, 1.05),
+    "academy_counterattack_easy": (4, 2, 0.45, 1.05),
+    "academy_counterattack_hard": (4, 3, 0.45, 1.05),
+    "academy_corner": (4, 3, 0.45, 1.05),
+    "academy_run_to_score_with_keeper": (1, 1, -0.3, 1.05),
+    "academy_single_goal_versus_lazy": (10, 11, 0.0, 0.0),
 }
 
 
@@ -95,6 +100,8 @@ class AcademySoccer:
     episode_limit: int = 400
     rewards: str = "scoring,checkpoints"
     representation: str = "simple"   # "simple" (vector) | "pixels" (SMM-style)
+    spawn_x: float = 0.45            # attacker spawn line
+    chase: float = 1.05              # outfield-defender speed multiplier
     metric_keys = ("won",)
 
     # super-minimap raster (the gfootball pixel path, football_env.py:34-35,
@@ -130,11 +137,13 @@ class AcademySoccer:
     def reset(self, key) -> Tuple[SoccerState, TimeStep]:
         N, M = self.n_agents, self.n_defenders
         k1, k2, k3 = jax.random.split(key, 3)
-        lx = 0.45 + 0.05 * jax.random.normal(k1, (N,))
+        lx = self.spawn_x + 0.05 * jax.random.normal(k1, (N,))
         ly = jnp.linspace(-0.15, 0.15, N) + 0.02 * jax.random.normal(k2, (N,))
         left = jnp.stack([lx, ly], axis=1)
-        dx = 0.75 + 0.03 * jax.random.normal(k3, (M - 1,)) if M > 1 else jnp.zeros((0,))
-        dy = jnp.linspace(-0.05, 0.05, max(M - 1, 1))[: M - 1]
+        # outfield defenders spawn between the attackers and the goal
+        def_x = min(0.5 * (self.spawn_x + 1.0) + 0.15, 0.9)
+        dx = def_x + 0.03 * jax.random.normal(k3, (M - 1,)) if M > 1 else jnp.zeros((0,))
+        dy = jnp.linspace(-0.15, 0.15, max(M - 1, 1))[: M - 1]
         defs = jnp.stack([dx, dy], axis=1) if M > 1 else jnp.zeros((0, 2))
         keeper = jnp.array([[0.99, 0.0]])
         right = jnp.concatenate([defs, keeper], axis=0)
@@ -173,7 +182,7 @@ class AcademySoccer:
         ball = state.ball_pos
         chase = ball[None, :] - state.right_pos[: M - 1]
         chase = chase / (jnp.linalg.norm(chase, axis=1, keepdims=True) + 1e-8)
-        dvel = chase * PLAYER_SPEED * 1.05
+        dvel = chase * PLAYER_SPEED * self.chase
         keeper_y = jnp.clip(ball[1], -GOAL_HALF_W, GOAL_HALF_W)
         kvel = jnp.stack([jnp.zeros(()), jnp.clip(
             keeper_y - state.right_pos[-1, 1], -PLAYER_SPEED, PLAYER_SPEED)])
@@ -333,10 +342,11 @@ def make_soccer(env_args: dict) -> AcademySoccer:
     if scenario not in SCENARIOS:
         raise ValueError(f"Unknown academy scenario {scenario!r}; "
                          f"available: {sorted(SCENARIOS)}")
-    n_agents, n_defs = SCENARIOS[scenario]
+    n_agents, n_defs, spawn_x, chase = SCENARIOS[scenario]
     n_agents = env_args.get("num_agents", n_agents)
     return AcademySoccer(
         n_agents=n_agents, n_defenders=n_defs,
         episode_limit=env_args.get("episode_limit", 400),
         rewards=env_args.get("rewards", "scoring,checkpoints"),
-        representation=env_args.get("representation", "simple"))
+        representation=env_args.get("representation", "simple"),
+        spawn_x=spawn_x, chase=chase)
