@@ -57,7 +57,8 @@ class TrainLogger:
             self.progress_file.flush()
 
     def log_eval(self, steps: int, mean_return: float, extra: Optional[Dict] = None) -> None:
-        print(f"  eval @ {steps}: return {mean_return:.2f}", flush=True)
+        extra_txt = "".join(f" {k}={v:.3f}" for k, v in (extra or {}).items())
+        print(f"  eval @ {steps}: return {mean_return:.2f}{extra_txt}", flush=True)
         if self.writer is not None:
             self.writer.add_scalar("eval_return", mean_return, steps)
             for k, v in (extra or {}).items():
