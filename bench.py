@@ -14,10 +14,13 @@ reference never publishes numbers, BASELINE.md). The driver-set target is
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REFERENCE_FPS = 8000.0  # PyTorch HARL MAMuJoCo rollout throughput estimate
 

@@ -79,6 +79,11 @@ def main(argv=None):
 
     import os
 
+    # persistent compile cache: repeated runs of the same program skip the
+    # (remote) XLA compile entirely — set before any jit tracing happens
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
     import jax
 
     # ---- multi-host init over DCN (jax.distributed) -----------------------
