@@ -21,6 +21,34 @@ def test_spaces_and_scenarios():
         make_soccer({"env_name": "not_a_scenario"})
 
 
+def test_new_scenarios_step_finite():
+    for sc, n, m in (("academy_run_to_score_with_keeper", 1, 1),
+                     ("academy_counterattack_hard", 4, 3),
+                     ("academy_single_goal_versus_lazy", 10, 11)):
+        env = make_soccer({"env_name": sc})
+        assert env.n_agents == n and env.n_defenders == m
+        s, ts = env.reset(jax.random.PRNGKey(0))
+        key = jax.random.PRNGKey(1)
+        for _ in range(6):
+            key, k, ka = jax.random.split(key, 3)
+            acts = jax.random.randint(ka, (n,), 0, 19)
+            s, ts = env.step(s, list(acts), k)
+        assert np.isfinite(np.asarray(ts.obs)).all()
+        assert np.isfinite(np.asarray(ts.rewards)).all()
+
+
+def test_lazy_defenders_do_not_chase():
+    env = make_soccer({"env_name": "academy_single_goal_versus_lazy"})
+    s, _ = env.reset(jax.random.PRNGKey(0))
+    d0 = np.asarray(s.right_pos[:-1])
+    key = jax.random.PRNGKey(1)
+    for _ in range(10):
+        key, k = jax.random.split(key)
+        s, _ = env.step(s, [jnp.asarray(5)] * 10, k)
+    # outfield defenders are statues; the keeper may still shift in y
+    assert np.allclose(np.asarray(s.right_pos[:-1]), d0, atol=1e-6)
+
+
 def test_initial_possession_and_checkpoints():
     """The first carrier advancing toward goal collects checkpoint rewards."""
     env = make_soccer({"env_name": "academy_3_vs_1_with_keeper"})
