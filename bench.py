@@ -19,8 +19,14 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+# persistent compile cache — sitecustomize may have imported jax already, so
+# the env var alone is ignored; set the live config too
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 REFERENCE_FPS = 8000.0  # PyTorch HARL MAMuJoCo rollout throughput estimate
 

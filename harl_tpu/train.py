@@ -80,11 +80,16 @@ def main(argv=None):
     import os
 
     # persistent compile cache: repeated runs of the same program skip the
-    # (remote) XLA compile entirely — set before any jit tracing happens
+    # (remote) XLA compile entirely. sitecustomize may have imported jax
+    # already, so set the live config, not just the env var
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     # ---- multi-host init over DCN (jax.distributed) -----------------------
     # CLI: --num_processes N --coordinator host:port --process_id K
