@@ -11,10 +11,22 @@ with per-step policy forwards and Pipe round-trips on a desktop GPU — the
 reference never publishes numbers, BASELINE.md). The driver-set target is
 1M env-steps/s on a v4-16 (8 chips), i.e. 125k/chip.
 
+Wedge-proofing (round-2 postmortem: the TPU-tunnel claim service hung
+before the first output and the driver recorded rc=124 with nothing in
+the tail):
+  * every phase (import, device claim, compile, each timing block) logs
+    progress to stderr so a hang is diagnosable from the log tail;
+  * an internal SIGALRM deadline (default 480 s, well inside the driver's
+    timeout) fires mid-phase and prints the final JSON line from whatever
+    steady-state timing blocks completed by then;
+  * timing runs in small synced blocks so a partial measurement exists
+    from ~the first minute of steady state onward.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
+import signal
 import sys
 import time
 
@@ -23,15 +35,65 @@ sys.path.insert(0, ".")
 # the env var alone is ignored; set the live config too
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-import jax  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 REFERENCE_FPS = 8000.0  # PyTorch HARL MAMuJoCo rollout throughput estimate
+DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", "480"))
+
+# Best-so-far measurement, mutated by the timing loop and read by the
+# alarm handler.  fps is None until at least one timing block completes.
+_best = {"fps": None, "blocks": 0}
+_done = False
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - T0:.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(fps):
+    print(
+        json.dumps(
+            {
+                "metric": "happo_halfcheetah6x1_env_steps_per_s",
+                "value": round(fps, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(fps / REFERENCE_FPS, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _alarm(signum, frame):
+    if _done:
+        return
+    if _best["fps"] is not None:
+        _log(
+            f"DEADLINE {DEADLINE_S}s hit — emitting best-effort result from "
+            f"{_best['blocks']} completed timing block(s)"
+        )
+        _emit(_best["fps"])
+        os._exit(0)
+    _log(
+        f"DEADLINE {DEADLINE_S}s hit with NO completed timing block — the run "
+        "wedged before steady state (device claim or compile hang); see the "
+        "progress lines above for the last phase reached"
+    )
+    os._exit(3)
+
+
+T0 = time.time()
+signal.signal(signal.SIGALRM, _alarm)
+signal.alarm(DEADLINE_S)
 
 
 def main():
+    global _done
+    _log("importing jax...")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from harl_tpu.runners.on_policy import OnPolicyRunner
     from harl_tpu.utils.config_tools import get_defaults_yaml_args
 
@@ -45,6 +107,11 @@ def main():
     )
     algo_args["model"].update(hidden_sizes=[64, 64])
     env_args.update(scenario="HalfCheetah-v2", agent_conf="6x1", episode_limit=1000)
+
+    _log("claiming device...")
+    dev = jax.devices()[0]
+    _log(f"device claimed: {dev}")
+
     runner = OnPolicyRunner(
         {"algo": "happo", "env": "mamujoco_jax", "exp_name": "bench"},
         algo_args,
@@ -55,29 +122,37 @@ def main():
     # warmup: first compile + layout-change recompile both happen in the first
     # two calls; a value FETCH (not block_until_ready, which does not reliably
     # block on the remote-TPU platform) forces completion
-    for _ in range(3):
+    _log("warmup/compile (3 iterations)...")
+    for i in range(3):
         state, metrics = runner._train_iteration(state)
-    float(metrics["value_loss"])
+        float(metrics["value_loss"])
+        _log(f"warmup iteration {i + 1}/3 done")
 
-    iters = 15
-    t0 = time.time()
-    for _ in range(iters):
-        state, metrics = runner._train_iteration(state)
-    float(metrics["value_loss"])  # hard sync on the last iteration's output
-    dt = time.time() - t0
-
-    steps = iters * episode_length * n_threads
-    fps = steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "happo_halfcheetah6x1_env_steps_per_s",
-                "value": round(fps, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(fps / REFERENCE_FPS, 2),
-            }
+    # steady state: timed blocks of `block` iterations, each synced by a value
+    # fetch.  The running mean over completed blocks is the best-effort result
+    # the alarm handler emits if a later block wedges.
+    block, n_blocks = 3, 6
+    steps_per_iter = episode_length * n_threads
+    total_steps = 0
+    total_dt = 0.0
+    for b in range(n_blocks):
+        t0 = time.time()
+        for _ in range(block):
+            state, metrics = runner._train_iteration(state)
+        float(metrics["value_loss"])  # hard sync on the block's last output
+        dt = time.time() - t0
+        total_steps += block * steps_per_iter
+        total_dt += dt
+        _best["fps"] = total_steps / total_dt
+        _best["blocks"] = b + 1
+        _log(
+            f"block {b + 1}/{n_blocks}: {block * steps_per_iter / dt:,.0f} "
+            f"steps/s (running mean {_best['fps']:,.0f})"
         )
-    )
+
+    _done = True
+    signal.alarm(0)
+    _emit(_best["fps"])
 
 
 if __name__ == "__main__":
