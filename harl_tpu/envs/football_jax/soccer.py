@@ -79,17 +79,21 @@ class SoccerState(NamedTuple):
 
 
 SCENARIOS = {
-    # name: (n_agents, n_defenders incl. keeper, attacker spawn x, chase)
+    # name: (n_agents, n_defenders incl. keeper, attacker spawn x, chase,
+    #        outfield-defender spawn x, defender y half-spread)
     # chase is the outfield-defender speed multiplier (0 → "lazy" statues,
-    # the gfootball 11_vs_11 single_goal_versus_lazy setup)
-    "academy_3_vs_1_with_keeper": (3, 2, 0.45, 1.05),
-    "academy_pass_and_shoot_with_keeper": (2, 2, 0.45, 1.05),
-    "academy_run_pass_and_shoot_with_keeper": (2, 2, 0.45, 1.05),
-    "academy_counterattack_easy": (4, 2, 0.45, 1.05),
-    "academy_counterattack_hard": (4, 3, 0.45, 1.05),
-    "academy_corner": (4, 3, 0.45, 1.05),
-    "academy_run_to_score_with_keeper": (1, 1, -0.3, 1.05),
-    "academy_single_goal_versus_lazy": (10, 11, 0.0, 0.0),
+    # the gfootball 11_vs_11 single_goal_versus_lazy setup).
+    # The original scenarios keep their validated (0.75, ±0.05) defender
+    # spawn; scenarios added later use the deeper/wider line they were
+    # validated with.
+    "academy_3_vs_1_with_keeper": (3, 2, 0.45, 1.05, 0.75, 0.05),
+    "academy_pass_and_shoot_with_keeper": (2, 2, 0.45, 1.05, 0.75, 0.05),
+    "academy_run_pass_and_shoot_with_keeper": (2, 2, 0.45, 1.05, 0.75, 0.05),
+    "academy_counterattack_easy": (4, 2, 0.45, 1.05, 0.75, 0.05),
+    "academy_counterattack_hard": (4, 3, 0.45, 1.05, 0.875, 0.15),
+    "academy_corner": (4, 3, 0.45, 1.05, 0.75, 0.05),
+    "academy_run_to_score_with_keeper": (1, 1, -0.3, 1.05, 0.9, 0.15),
+    "academy_single_goal_versus_lazy": (10, 11, 0.0, 0.0, 0.65, 0.15),
 }
 
 
@@ -102,6 +106,8 @@ class AcademySoccer:
     representation: str = "simple"   # "simple" (vector) | "pixels" (SMM-style)
     spawn_x: float = 0.45            # attacker spawn line
     chase: float = 1.05              # outfield-defender speed multiplier
+    def_spawn_x: float = 0.75        # outfield-defender spawn line
+    def_spread: float = 0.05         # outfield-defender y half-spread
     metric_keys = ("won",)
 
     # super-minimap raster (the gfootball pixel path, football_env.py:34-35,
@@ -141,9 +147,10 @@ class AcademySoccer:
         ly = jnp.linspace(-0.15, 0.15, N) + 0.02 * jax.random.normal(k2, (N,))
         left = jnp.stack([lx, ly], axis=1)
         # outfield defenders spawn between the attackers and the goal
-        def_x = min(0.5 * (self.spawn_x + 1.0) + 0.15, 0.9)
-        dx = def_x + 0.03 * jax.random.normal(k3, (M - 1,)) if M > 1 else jnp.zeros((0,))
-        dy = jnp.linspace(-0.15, 0.15, max(M - 1, 1))[: M - 1]
+        dx = (self.def_spawn_x + 0.03 * jax.random.normal(k3, (M - 1,))
+              if M > 1 else jnp.zeros((0,)))
+        dy = jnp.linspace(-self.def_spread, self.def_spread,
+                          max(M - 1, 1))[: M - 1]
         defs = jnp.stack([dx, dy], axis=1) if M > 1 else jnp.zeros((0, 2))
         keeper = jnp.array([[0.99, 0.0]])
         right = jnp.concatenate([defs, keeper], axis=0)
@@ -342,11 +349,12 @@ def make_soccer(env_args: dict) -> AcademySoccer:
     if scenario not in SCENARIOS:
         raise ValueError(f"Unknown academy scenario {scenario!r}; "
                          f"available: {sorted(SCENARIOS)}")
-    n_agents, n_defs, spawn_x, chase = SCENARIOS[scenario]
+    n_agents, n_defs, spawn_x, chase, def_x, def_spread = SCENARIOS[scenario]
     n_agents = env_args.get("num_agents", n_agents)
     return AcademySoccer(
         n_agents=n_agents, n_defenders=n_defs,
         episode_limit=env_args.get("episode_limit", 400),
         rewards=env_args.get("rewards", "scoring,checkpoints"),
         representation=env_args.get("representation", "simple"),
-        spawn_x=spawn_x, chase=chase)
+        spawn_x=spawn_x, chase=chase,
+        def_spawn_x=def_x, def_spread=def_spread)

@@ -86,7 +86,7 @@ JOINTS = [
     ("right_elbow", "right_lower_arm", _norm((0, -1, 1)), (0, 0, 0), (-90, 50), 0.0028, 1, 0, 25),
     ("left_shoulder1", "left_upper_arm", _norm((2, -1, 1)), (0, 0, 0), (-60, 85), 0.0068, 1, 1, 25),
     ("left_shoulder2", "left_upper_arm", _norm((0, 1, 1)), (0, 0, 0), (-60, 85), 0.0051, 1, 1, 25),
-    ("left_elbow", "left_lower_arm", _norm((0, -1, -1)), (0, 0, 0), (-90, 50), 0.0028, 1, 1, 25),
+    ("left_elbow", "left_lower_arm", _norm((0, -1, -1)), (0, 0, 0), (-90, 50), 0.0028, 1, 0, 25),
 ]
 N_JOINTS = len(JOINTS)
 DOF = 6 + N_JOINTS
@@ -285,29 +285,51 @@ def physics_step(q, qd, actions):
     return q, qd, n_total / FRAME_SKIP
 
 
+# reference obsk.py 9|8: agent 0 = upper body (abdomen + shoulders/elbows),
+# agent 1 = lower body (hips/knees) — NOT contiguous actuator slices
+_JOINT_IDX = {name: i for i, (name, *_rest) in enumerate(JOINTS)}
+_PART_9_8 = (
+    tuple(_JOINT_IDX[n] for n in (
+        "abdomen_y", "abdomen_z", "abdomen_x",
+        "right_shoulder1", "right_shoulder2", "right_elbow",
+        "left_shoulder1", "left_shoulder2", "left_elbow")),
+    tuple(_JOINT_IDX[n] for n in (
+        "right_hip_x", "right_hip_z", "right_hip_y", "right_knee",
+        "left_hip_x", "left_hip_z", "left_hip_y", "left_knee")),
+)
+
+
 def _parse_conf(conf: str):
-    """'17x1' → 17 one-joint agents; '9|8' → actuator split [0:9], [9:17]."""
-    if "|" in conf:
+    """'17x1' → 17 one-joint agents; '9|8' → upper/lower body partition.
+
+    Returns per-agent tuples of joint (=actuator) indices.
+    """
+    if conf == "9|8":
+        groups = [list(g) for g in _PART_9_8]
+    elif "|" in conf:
         sizes = [int(x) for x in conf.split("|")]
+        starts = [sum(sizes[:i]) for i in range(len(sizes))]
+        groups = [list(range(s, s + sz)) for s, sz in zip(starts, sizes)]
     else:
         n, per = (int(x) for x in conf.split("x"))
-        sizes = [per] * n
-    if sum(sizes) != N_JOINTS:
+        groups = [list(range(i * per, (i + 1) * per)) for i in range(n)]
+    if sorted(j for g in groups for j in g) != list(range(N_JOINTS)):
         raise ValueError(f"agent_conf {conf!r} must partition {N_JOINTS} joints")
-    return sizes
+    return groups
 
 
 @dataclasses.dataclass(frozen=True)
 class HumanoidMAMuJoCo:
     """MAMuJoCo Humanoid-v2 (17x1 / 9|8); ``standup=True`` → standup task."""
 
-    agent_sizes: Tuple[int, ...] = (1,) * 17
+    agent_joints: Tuple[Tuple[int, ...], ...] = tuple(
+        (i,) for i in range(17))
     episode_limit: int = 1000
     standup: bool = False
 
     @property
     def n_agents(self) -> int:
-        return len(self.agent_sizes)
+        return len(self.agent_joints)
 
     @property
     def state_dim(self) -> int:
@@ -327,8 +349,8 @@ class HumanoidMAMuJoCo:
 
     @property
     def action_space(self):
-        return [spaces.Box.create(-CTRL_RANGE, CTRL_RANGE, s)
-                for s in self.agent_sizes]
+        return [spaces.Box.create(-CTRL_RANGE, CTRL_RANGE, len(g))
+                for g in self.agent_joints]
 
     # ------------------------------------------------------------------ api
     def reset(self, key) -> Tuple[HumanoidState, TimeStep]:
@@ -348,15 +370,15 @@ class HumanoidMAMuJoCo:
 
     def step(self, state: HumanoidState, actions, key):
         del key
-        flat = jnp.concatenate(
-            [jnp.asarray(actions[i])[: self.agent_sizes[i]]
-             for i in range(self.n_agents)])
+        flat = jnp.zeros((N_JOINTS,))
+        for i, joints in enumerate(self.agent_joints):
+            flat = flat.at[jnp.array(joints)].set(
+                jnp.asarray(actions[i])[: len(joints)])
         com0 = _com(state.q)
         q, qd, contact_n = physics_step(state.q, state.qd, flat)
-        # gym v2 semantics: the forward/up term divides by opt.timestep
-        # (0.003), NOT dt = timestep·frame_skip — the well-known v2 reward
-        # scale the reference's Humanoid curves are plotted on
-        # (gym humanoid.py lin_vel_cost, humanoidstandup.py uph_cost)
+        # gym v2 semantics: standup's uph_cost divides by opt.timestep
+        # (0.003); the walking lin_vel_cost is 0.25*dx/opt.timestep,
+        # i.e. 1.25·vel with vel over the full frame-skipped step
         a = jnp.clip(flat, -CTRL_RANGE, CTRL_RANGE)
         ctrl = CTRL_COST * jnp.sum(a ** 2)
         impact = jnp.minimum(CONTACT_COST * contact_n ** 2, CONTACT_COST_MAX)
@@ -364,7 +386,9 @@ class HumanoidMAMuJoCo:
             reward = q[2] / DT - ctrl - impact + 1.0
             term = jnp.zeros((), bool)
         else:
-            vel_x = (_com(q)[0] - com0[0]) / DT
+            # gym v2: lin_vel_cost = 0.25*dx/opt.timestep ≡ 1.25*dx/dt with
+            # dt = timestep·frame_skip = 0.015 (humanoid.py v2)
+            vel_x = (_com(q)[0] - com0[0]) / (DT * FRAME_SKIP)
             healthy = self._is_healthy(q, qd)
             reward = (FORWARD_WEIGHT * vel_x + HEALTHY_REWARD * healthy
                       - ctrl - impact)
@@ -409,7 +433,7 @@ def make_humanoid(env_args: dict) -> HumanoidMAMuJoCo:
     scenario = env_args.get("scenario", "Humanoid-v2")
     conf = env_args.get("agent_conf", "17x1")
     return HumanoidMAMuJoCo(
-        agent_sizes=tuple(_parse_conf(conf)),
+        agent_joints=tuple(tuple(g) for g in _parse_conf(conf)),
         episode_limit=env_args.get("episode_limit", 1000),
         standup=scenario.startswith("HumanoidStandup"),
     )

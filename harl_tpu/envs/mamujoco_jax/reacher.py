@@ -138,10 +138,12 @@ class ReacherMAMuJoCo:
         del key
         a = jnp.clip(jnp.stack([jnp.asarray(actions[i]).reshape(())
                                 for i in range(self.n_agents)]), -1.0, 1.0)
+        # gym Reacher-v2 computes reward_dist from the fingertip BEFORE
+        # do_simulation (reacher.py step()); match that ordering
+        dist = jnp.linalg.norm(fingertip(state.q) - state.target)
         q, qd = state.q, state.qd
         for _ in range(FRAME_SKIP):
             q, qd = self._substep(q, qd, a)
-        dist = jnp.linalg.norm(fingertip(q) - state.target)
         reward = -dist - jnp.sum(a ** 2)
         new_t = state.t + 1
         trunc = new_t >= self.episode_limit

@@ -27,6 +27,15 @@ def test_confs_and_spaces():
     assert env98.action_space[1].shape[0] == 8
     s, ts = env98.reset(jax.random.PRNGKey(0))
     assert ts.obs.shape == (2, env98.obs_dim)
+    # reference obsk 9|8 split: agent 0 = abdomen+arms (upper body),
+    # agent 1 = hips/knees (lower body) — not contiguous actuator slices
+    from harl_tpu.envs.mamujoco_jax.humanoid import JOINTS
+    names0 = {JOINTS[j][0] for j in env98.agent_joints[0]}
+    names1 = {JOINTS[j][0] for j in env98.agent_joints[1]}
+    assert names0 == {"abdomen_y", "abdomen_z", "abdomen_x",
+                      "right_shoulder1", "right_shoulder2", "right_elbow",
+                      "left_shoulder1", "left_shoulder2", "left_elbow"}
+    assert all("hip" in n or "knee" in n for n in names1)
 
 
 def test_untrained_falls_and_terminates():

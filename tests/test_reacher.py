@@ -24,7 +24,8 @@ def test_reward_is_neg_dist_minus_ctrl():
     s, _ = env.reset(jax.random.PRNGKey(1))
     a = jnp.array([[0.5], [-0.25]])
     s2, ts = env.step(s, a, jax.random.PRNGKey(0))
-    dist = float(jnp.linalg.norm(fingertip(s2.q) - s2.target))
+    # gym v2 measures the distance from the PRE-step fingertip
+    dist = float(jnp.linalg.norm(fingertip(s.q) - s.target))
     expect = -dist - (0.5 ** 2 + 0.25 ** 2)
     assert abs(float(ts.rewards[0, 0]) - expect) < 1e-5
 
