@@ -978,10 +978,14 @@ class OffPolicyRunner:
         for block in range(1, total_blocks + 1):
             state, cmetrics = self._collect(state)
             state, tmetrics = self._train(state)
-            if block % max(blocks_per_eval // 8, 1) == 0:
-                cm = jax.device_get(cmetrics)
-                acc_ret += float(cm["episode_return_sum"])
-                acc_cnt += float(cm["episode_count"])
+            # fold EVERY block's completed episodes into the accumulator —
+            # two scalar device_gets per block is noise next to the train
+            # step, and subsampling silently dropped ~90% of episode ends
+            cm = jax.device_get(
+                {k: cmetrics[k] for k in ("episode_return_sum", "episode_count")}
+            )
+            acc_ret += float(cm["episode_return_sum"])
+            acc_cnt += float(cm["episode_count"])
             if block % blocks_per_eval == 0 or block == total_blocks:
                 m = jax.device_get({**cmetrics, **tmetrics})
                 if acc_cnt > 0:

@@ -332,8 +332,11 @@ class OnPolicyRunner:
         new_active = jnp.where(ts.dones[..., None], 0.0, 1.0)
         new_active = jnp.where(done_env[:, None, None], 1.0, new_active)
         bad_mask = jnp.where(ts.bad_transition, 0.0, 1.0)[:, None]  # (B,1)
-        # episodic return accounting (team reward of agent 0, logger semantics)
-        rew = ts.rewards[:, 0, 0]
+        # episodic return accounting: per-agent mean reward — the same
+        # definition the host path and both eval paths use, so train and
+        # eval returns are on one scale even when per-agent rewards differ
+        # (e.g. MPE local_ratio)
+        rew = ts.rewards[:, :, 0].mean(axis=1)
         ep_ret = carry.ep_ret + rew
         ep_len = carry.ep_len + 1
         emitted_ret = jnp.where(done_env, ep_ret, 0.0)
@@ -830,7 +833,7 @@ class OnPolicyRunner:
             tr = vec.step(env_state, stacked, k)
             done_env = jnp.all(tr.ts.dones, axis=1)
             done_f = done_env.astype(jnp.float32)
-            ep_ret = ep_ret + tr.ts.rewards[:, 0, 0]
+            ep_ret = ep_ret + tr.ts.rewards[:, :, 0].mean(axis=1)
             ret_sum = ret_sum + jnp.sum(ep_ret * done_f)
             cnt = cnt + jnp.sum(done_f)
             fm = tr.final.metrics or {}
@@ -971,7 +974,7 @@ class OnPolicyRunner:
                 stacked = stacked.astype(jnp.int32)
             tr = vec.step(env_state, stacked, k)
             return (tr.state, tr.ts.obs, tr.ts.available_actions), (
-                tr.ts.obs, stacked, tr.ts.rewards[:, 0, 0]
+                tr.ts.obs, stacked, tr.ts.rewards[:, :, 0].mean(axis=1)
             )
 
         T = self._eval_len()

@@ -190,3 +190,61 @@ def test_happo_naive_recurrent_policy():
     p0 = jax.tree_util.tree_leaves(state.actors[0].params)[0]
     p1 = jax.tree_util.tree_leaves(new_state.actors[0].params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_train_and_eval_return_same_scale():
+    """Train-rollout episode accounting and eval accounting must use the SAME
+    per-agent-mean reward definition (round-2 verdict: the jitted rollout
+    logged agent-0 team reward while eval averaged over agents, so train and
+    eval returns diverged whenever per-agent rewards differ, e.g. MPE
+    local_ratio). Patch the env step to emit constant per-agent rewards
+    (1, 2, 3) and check both paths report the mean (2.0/step)."""
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "pettingzoo_mpe", "exp_name": "test"},
+        _cfg(),
+        {"scenario": "simple_spread_v2", "continuous_actions": True, "max_cycles": 10},
+    )
+    const_rew = jnp.array([[1.0], [2.0], [3.0]])
+
+    def patch_vec(vec):
+        orig = vec.step
+
+        def step(state, actions, key):
+            tr = orig(state, actions, key)
+            rew = jnp.broadcast_to(const_rew[None], tr.ts.rewards.shape)
+            return tr._replace(
+                ts=tr.ts._replace(rewards=rew),
+                final=tr.final._replace(rewards=rew),
+            )
+
+        vec.step = step
+
+    patch_vec(runner.vec)
+    state = runner.init_state(0)
+    state, metrics = runner._train_iteration(state)
+    m = jax.device_get(metrics)
+    assert float(m["episode_count"]) > 0
+    train_ret = float(m["episode_return_sum"]) / float(m["episode_count"])
+    # 10-step episodes, per-agent mean reward 2.0 → 20.0; agent-0 would be 10.0
+    assert abs(train_ret - 20.0) < 1e-4
+
+    # eval constructs its own VecEnv inside eval_rollout; patch at the class
+    # level so the fresh instance is covered too
+    from harl_tpu.envs.core import VecEnv
+
+    orig_step = VecEnv.step
+
+    def cls_step(self, state, actions, key):
+        tr = orig_step(self, state, actions, key)
+        rew = jnp.broadcast_to(const_rew[None], tr.ts.rewards.shape)
+        return tr._replace(
+            ts=tr.ts._replace(rewards=rew),
+            final=tr.final._replace(rewards=rew),
+        )
+
+    VecEnv.step = cls_step
+    try:
+        eval_ret, _ = runner.evaluate(state, 4, eval_episodes=4)
+    finally:
+        VecEnv.step = orig_step
+    assert abs(eval_ret - 20.0) < 1e-4
