@@ -86,6 +86,7 @@ class HandOverState(NamedTuple):
     obj_omg: jnp.ndarray   # (n_obj, 3)
     goal_pos: jnp.ndarray  # (n_obj, 3)
     goal_quat: jnp.ndarray  # (n_obj, 4)
+    succeeded: jnp.ndarray  # (n_obj,) bool — sticky per-object success flag
     t: jnp.ndarray         # () int32
 
 
@@ -139,8 +140,14 @@ def _quat_angle(a, b):
 # obj starts resting on (palm-up) / hanging under (palm-down) its start hand;
 # each goal sits in the grasp region of its goal hand.
 _TASKS = {
+    # receiver at z=0.16: the tossing hand's achievable apex is ~0.10 m
+    # (fingertip flick ballistics), so the goal (0.06 under the receiving
+    # palm) sits exactly in the reachable funnel — verified by a scripted
+    # throw+catch reaching the sticky dist<0.03 success; at the round-2
+    # height (0.24) the goal was physically unreachable and won plateaued
+    # at 0.02 over 30M steps
     "ShadowHandOver": dict(
-        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.0, 0.24)),
+        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.0, 0.16)),
         fwd=(1.0, -1.0), up=(1.0, -1.0),
         obj_start_hand=(0,), goal_hand=(1,)),
     "ShadowHandCatchUnderarm": dict(
@@ -245,6 +252,7 @@ class ShadowHandOver:
             obj_vel=jnp.zeros((self.n_objects, 3)),
             obj_omg=jnp.zeros((self.n_objects, 3)),
             goal_pos=goal_pos, goal_quat=goal_quat,
+            succeeded=jnp.zeros((self.n_objects,), bool),
             t=jnp.zeros((), jnp.int32))
         return state, self._timestep(state, jnp.zeros(()), jnp.zeros((), bool),
                                      jnp.zeros((), bool), jnp.zeros((), bool))
@@ -268,20 +276,27 @@ class ShadowHandOver:
 
         dist = jnp.linalg.norm(obj_pos - state.goal_pos, axis=1)  # (n_obj,)
         rot = _quat_angle(obj_quat, state.goal_quat)
-        success = jnp.all(dist < SUCCESS_DIST)
+        # shadow_hand_over.py compute_hand_reward semantics: a strictly
+        # POSITIVE proximity income exp(-0.2*(50*dist + rot)) per object plus
+        # a tiny action penalty; dropping terminates with NO extra penalty
+        # (fallPenalty: 0.0 in ShadowHandOver.yaml) — losing the income
+        # stream is the punishment. Success is a sticky dist<0.03 flag and
+        # does NOT terminate. (The previous shaping was a negative per-step
+        # drain with termination on drop, making early dropping
+        # return-maximizing — the won=0.02 plateau of round 2.)
+        reward = (jnp.sum(jnp.exp(-0.2 * (50.0 * dist + rot)))
+                  - 0.0002 * jnp.sum(a ** 2))
+        succeeded = state.succeeded | (dist < 0.03)
+        success = jnp.all(succeeded)
         dropped = jnp.any(obj_pos[:, 2] < self._drop_z)
-        # shadow_hand_over-style shaping: approach + orientation + bonuses
-        reward = (jnp.sum(-2.0 * dist - 0.1 * rot)
-                  + 10.0 * success.astype(jnp.float32)
-                  - 2.0 * dropped.astype(jnp.float32))
         new_t = state.t + 1
         trunc = new_t >= self.episode_length
-        done = jnp.logical_or(jnp.logical_or(success, dropped), trunc)
-        bad = jnp.logical_and(trunc, ~jnp.logical_or(success, dropped))
+        done = jnp.logical_or(dropped, trunc)
+        bad = jnp.logical_and(trunc, ~dropped)
         new_state = HandOverState(
             theta=theta, theta_t=tgt, obj_pos=obj_pos, obj_quat=obj_quat,
             obj_vel=obj_vel, obj_omg=obj_omg, goal_pos=state.goal_pos,
-            goal_quat=state.goal_quat, t=new_t)
+            goal_quat=state.goal_quat, succeeded=succeeded, t=new_t)
         return new_state, self._timestep(new_state, reward, done, bad, success)
 
     # ------------------------------------------------------------- dynamics

@@ -40,10 +40,13 @@ Fidelity surface (reference anchors):
   episode limit; metrics ``won`` / ``dead_allies`` / ``dead_enemies``.
 
 Simplifications vs the real game (flat-arena physics): no pathing grid or
-terrain height (those state slots are emitted as constants), no unit
-collision, enemy AI is attack-closest (the bot's effective behavior in open
-micro fights), melee weapon ranges are ~1 world unit instead of touching
-hitboxes. SMACv2-style names (``protoss_5_vs_5`` …) draw per-episode unit
+terrain height (those state slots are emitted as constants). Enemy AI models
+the built-in bot's attack-move behavior: per-unit target acquisition with
+persistence (keep the target while alive and in weapon range, switch to
+another in-range ally when it leaves, advance without firing when none in
+range) — the spread/overkill/chase waste that rotation-tanking and kiting
+micro exploit. Ground units collide via soft footprint push-out (SC2 hitbox
+radii); melee weapon range 1 ≈ touching hitboxes under those radii. SMACv2-style names (``protoss_5_vs_5`` …) draw per-episode unit
 types from the race pools with the capability-config weights
 (``configs/envs_cfgs/smacv2_map_config/*.yaml``: 0.45/0.45/0.1) and use
 reflected random spawns.
@@ -79,6 +82,9 @@ TYPE_RANGE = jnp.array(
     [5.0, 6.0, 4.0, 6.0, 1.0, 7.0, 5.0, 1.0, 0.25, 7.0])
 TYPE_SPEED = jnp.array(
     [3.15, 3.15, 3.5, 4.13, 3.15, 3.15, 3.15, 4.13, 4.13, 0.0])
+# unit footprint radii (SC2 hitbox radii) for ground collision
+TYPE_RADIUS = jnp.array(
+    [0.375, 0.5625, 0.75, 0.625, 0.5, 1.0, 0.625, 0.375, 0.375, 0.75])
 PROTOSS_TYPES = (STALKER, ZEALOT, COLOSSUS)
 
 SHOOT_RANGE = 6.0          # unit_shoot_range: constant 6 for availability
@@ -211,6 +217,7 @@ class SMACLiteState(NamedTuple):
     ally_type: jnp.ndarray     # (A,) int32 global unit-type ids
     enemy_type: jnp.ndarray    # (E,)
     last_action: jnp.ndarray   # (A,) int32
+    enemy_tgt: jnp.ndarray     # (E,) int32 persistent acquired target (−1 none)
     t: jnp.ndarray             # () int32
     battle_over: jnp.ndarray   # () bool
 
@@ -395,6 +402,7 @@ class SMACLite:
             ally_type=ally_type,
             enemy_type=enemy_type,
             last_action=jnp.zeros((A,), jnp.int32),
+            enemy_tgt=jnp.full((E,), -1, jnp.int32),
             t=jnp.zeros((), jnp.int32),
             battle_over=jnp.zeros((), bool),
         )
@@ -434,6 +442,37 @@ class SMACLite:
             jnp.where(splash, TYPE_DAMAGE[att_type][:, None], 0.0), axis=0)
         new_cd = jnp.where(fires, TYPE_COOLDOWN[att_type], att_cd)
         return dmg, bane_fire, new_pos, new_cd, fires
+
+    def _resolve_collisions(self, ally_pos, enemy_pos, a_solid, e_solid,
+                            ally_type, enemy_type):
+        """One relaxation pass of pairwise footprint separation.
+
+        Living ground units (medivacs fly) are pushed apart symmetrically
+        where their SC2 hitbox radii overlap. A single pass per env step is
+        a soft approximation of the game's collision solver — enough to stop
+        stacking and bound melee surrounds.
+        """
+        pos = jnp.concatenate([ally_pos, enemy_pos], axis=0)          # (U,2)
+        solid = jnp.concatenate([a_solid, e_solid], axis=0)           # (U,)
+        rad = TYPE_RADIUS[jnp.concatenate([ally_type, enemy_type])]
+        delta = pos[:, None, :] - pos[None, :, :]                     # (U,U,2)
+        dist = jnp.linalg.norm(delta, axis=-1)
+        U = pos.shape[0]
+        pair = solid[:, None] & solid[None, :] & ~jnp.eye(U, dtype=bool)
+        overlap = jnp.maximum(rad[:, None] + rad[None, :] - dist, 0.0)
+        overlap = jnp.where(pair, overlap, 0.0)
+        # push direction; coincident units separate along a fixed axis
+        safe = jnp.maximum(dist, 1e-6)[..., None]
+        dirn = jnp.where(dist[..., None] > 1e-6, delta / safe,
+                         jnp.array([1.0, 0.0]))
+        push = 0.5 * jnp.sum(overlap[..., None] * dirn, axis=1)
+        # clamp: a unit cannot be shoved further than one move step
+        pn = jnp.maximum(jnp.linalg.norm(push, axis=-1, keepdims=True), 1e-9)
+        push = push / pn * jnp.minimum(pn, MOVE_AMOUNT)
+        new = jnp.clip(pos + jnp.where(solid[:, None], push, 0.0),
+                       -ARENA, ARENA)
+        A = ally_pos.shape[0]
+        return new[:A], new[A:]
 
     def step(self, state: SMACLiteState, actions, key) -> Tuple[SMACLiteState, TimeStep]:
         """actions: (A, 1) int32."""
@@ -477,15 +516,46 @@ class SMACLite:
         ally_pos = ally_pos + jnp.where(
             med_chases[:, None], to_h / nrm_h * MOVE_AMOUNT, 0.0)
 
-        # --- enemy AI: attack-closest (or heal weakest for enemy medivacs) --
+        # --- enemy AI: per-unit acquisition with pursuit persistence --------
+        # The SC2 built-in bot does NOT globally focus-fire the closest ally:
+        # an attack-moving unit scans for the closest acquirable target,
+        # locks it, and PURSUES it within the acquisition leash (~sight
+        # range), firing only when inside weapon range. It drops the lock
+        # only when the target dies or leaves the leash, then re-scans
+        # (closest in sight, else advances toward the nearest ally without
+        # firing). This pursuit persistence is exactly what rotation-tanking
+        # and kiting micro exploit: a damaged ally pulling back drags its
+        # pursuers out of the fight while the rest shoot them freely. The
+        # previous global argmin re-targeted every step was a strictly
+        # stronger opponent than the real bot and made 5m_vs_6m unwinnable
+        # at reference budgets (StarCraft2_Env.py drives the game bot with
+        # attack-move orders; acquisition/leash behavior is the engine's).
         dist_ea = jnp.linalg.norm(
             state.enemy_pos[:, None, :] - ally_pos[None, :, :], axis=-1)
-        closest = jnp.argmin(jnp.where(ally_alive[None, :], dist_ea, 1e9), axis=1)
+        in_sight = dist_ea <= SIGHT_RANGE                       # (E, A)
+        in_wr = dist_ea <= TYPE_RANGE[state.enemy_type][:, None]
+        cur = jnp.clip(state.enemy_tgt, 0, A - 1)
+        cur_in_wr = jnp.take_along_axis(in_wr, cur[:, None], 1)[:, 0]
+        # retaliation: a unit being shot while its lock is outside weapon
+        # range turns on whoever it can actually reach (drops the lock and
+        # re-scans) — without this, a perpetually-moving bait could absorb
+        # every pursuer's attention for free forever
+        hit_now = dmg_to_enemy > 0.0
+        cur_ok = ((state.enemy_tgt >= 0) & ally_alive[cur]
+                  & jnp.take_along_axis(in_sight, cur[:, None], 1)[:, 0]
+                  & (cur_in_wr | ~hit_now))
+        d_sight = jnp.where(ally_alive[None, :] & in_sight, dist_ea, 1e9)
+        cand_sight = jnp.argmin(d_sight, axis=1)
+        has_sight = jnp.min(d_sight, axis=1) < 1e9
+        d_any = jnp.where(ally_alive[None, :], dist_ea, 1e9)
+        cand_any = jnp.argmin(d_any, axis=1)
+        e_tgt = jnp.where(cur_ok, cur,
+                          jnp.where(has_sight, cand_sight, cand_any))
         any_ally = jnp.any(ally_alive)
         e_want = enemy_alive & ~is_med_e & any_ally
         dmg_to_ally, bane_e, enemy_pos, enemy_cd, _ = self._attack_phase(
             state.enemy_pos, state.enemy_type, enemy_alive, state.enemy_cd,
-            e_want, closest, ally_pos, ally_alive, A)
+            e_want, e_tgt, ally_pos, ally_alive, A)
         # enemy medivac: heal the most-damaged living non-medivac enemy
         e_deficit = jnp.where(
             enemy_alive & ~is_med_e,
@@ -572,13 +642,21 @@ class SMACLite:
         done = terminated | time_up
         bad_transition = time_up & ~terminated
 
+        # --- ground-unit collision: soft push-out of overlapping footprints
+        # (SC2 units cannot stack; without this, chasing clumps collapse to a
+        # point and melee surrounds are unbounded)
+        ally_pos, enemy_pos = self._resolve_collisions(
+            ally_pos, enemy_pos,
+            (a_health > 0) & ~is_med_a, (e_health > 0) & ~is_med_e,
+            state.ally_type, state.enemy_type)
+
         new_state = SMACLiteState(
             ally_pos=ally_pos, ally_health=a_health, ally_shield=a_shield,
             ally_cd=ally_cd, ally_hit_t=a_hit_t,
             enemy_pos=enemy_pos, enemy_health=e_health, enemy_shield=e_shield,
             enemy_cd=enemy_cd, enemy_hit_t=e_hit_t,
             ally_type=state.ally_type, enemy_type=state.enemy_type,
-            last_action=a, t=new_t, battle_over=done,
+            last_action=a, enemy_tgt=e_tgt, t=new_t, battle_over=done,
         )
         return new_state, self._timestep(new_state, reward, done,
                                          bad_transition, won)

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Round-3 chip queue: strictly serial runs on the one TPU chip.
+# Each run logs to results/validation_r3/ and fails loudly (nonzero exit
+# recorded in the log tail + queue.out).
+cd /root/repo
+LOG=results/validation_r3
+run() {
+  name=$1; shift
+  echo "=== $name start $(date +%T) ===" >> $LOG/queue.out
+  timeout 7200 "$@" > $LOG/$name.log 2>&1
+  rc=$?
+  echo "=== $name rc=$rc $(date +%T) ===" >> $LOG/queue.out
+  if [ $rc -ne 0 ]; then echo "RUN FAILED rc=$rc" >> $LOG/$name.log; fi
+}
+run "$@"

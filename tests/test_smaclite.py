@@ -291,3 +291,86 @@ def test_happo_recurrent_fp_critic():
     assert state.carry.critic_rnn.shape[0] == B * N
     new_state, metrics = runner._train_iteration(state)
     assert np.isfinite(float(metrics["value_loss"]))
+
+
+def test_enemy_target_persistence():
+    """The enemy bot locks its acquired target and PURSUES it within the
+    acquisition leash (sight range), firing only in weapon range, even when
+    another ally is closer — the SC2 attack-move behavior that rotation and
+    kiting micro exploit. The lock drops when the target leaves sight."""
+    env = make_smaclite("5m_vs_6m", episode_limit=100)
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    # place enemy 0 with allies 0 and 1 both in weapon range (marine range 5)
+    ap = jnp.zeros((5, 2)).at[0].set(jnp.array([0.0, 0.0]))
+    ap = ap.at[1].set(jnp.array([0.0, 3.0]))
+    # move the rest far away
+    for i in (2, 3, 4):
+        ap = ap.at[i].set(jnp.array([-14.0, -14.0 + i]))
+    ep = jnp.zeros((6, 2)).at[0].set(jnp.array([4.0, 0.0]))
+    for j in range(1, 6):
+        ep = ep.at[j].set(jnp.array([15.0, -14.0 + 2.0 * j]))
+    state = state._replace(
+        ally_pos=ap, enemy_pos=ep,
+        enemy_tgt=jnp.array([1, -1, -1, -1, -1, -1], jnp.int32))
+    # enemy 0 is 4.0 from ally 0 (closer) but its persistent target is
+    # ally 1 at 5.0 (still within weapon range 5) → it must keep ally 1
+    noop = jnp.zeros((5, 1), jnp.int32)
+    h_before = float(state.ally_health[1])
+    state2, _ = env.step(state, noop, jax.random.PRNGKey(1))
+    assert int(state2.enemy_tgt[0]) == 1
+    assert float(state2.ally_health[1]) < h_before          # fired at ally 1
+    assert float(state2.ally_health[0]) == float(state.ally_health[0])
+    # pull ally 1 just out of weapon range but inside sight → enemy 0 keeps
+    # the lock and CHASES without firing (ally 0 untouched, no damage dealt)
+    pos1 = jnp.asarray(state2.enemy_pos[0]) + jnp.array([0.0, 7.0])
+    state3 = state2._replace(
+        ally_pos=state2.ally_pos.at[1].set(pos1),
+        ally_health=jnp.full((5,), 45.0),
+        enemy_cd=jnp.zeros(6))
+    e0_before = jnp.asarray(state3.enemy_pos[0])
+    state4, _ = env.step(state3, noop, jax.random.PRNGKey(2))
+    assert int(state4.enemy_tgt[0]) == 1                    # lock kept
+    assert float(state4.ally_health[1]) == 45.0             # no shot landed
+    moved = float(jnp.linalg.norm(state4.enemy_pos[0] - e0_before))
+    assert moved > 0.5                                      # pursuing
+    # teleport ally 1 beyond sight range → lock drops, re-acquires ally 0
+    state5 = state4._replace(
+        ally_pos=state4.ally_pos.at[1].set(jnp.array([0.0, 15.0])),
+        enemy_cd=jnp.zeros(6))
+    state6, _ = env.step(state5, noop, jax.random.PRNGKey(3))
+    assert int(state6.enemy_tgt[0]) == 0
+
+
+def test_enemy_advances_without_firing_when_none_in_range():
+    """Out-of-range enemies attack-move toward the closest ally and deal no
+    damage while approaching (free first volleys for the defender)."""
+    env = make_smaclite("5m_vs_6m", episode_limit=100)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    h0 = state.ally_health
+    d0 = float(jnp.linalg.norm(state.enemy_pos[0] - state.ally_pos[0]))
+    noop = jnp.zeros((5, 1), jnp.int32)
+    state2, _ = env.step(state, noop, jax.random.PRNGKey(1))
+    assert bool(jnp.all(state2.ally_health == h0))          # nothing fired
+    d1 = float(jnp.min(jnp.linalg.norm(
+        state2.enemy_pos[:, None] - state2.ally_pos[None, :], axis=-1)))
+    assert d1 < d0                                          # enemies advanced
+
+
+def test_unit_collision_pushout():
+    """Overlapping living ground units separate to at least ~their summed
+    footprint radii; dead units do not collide."""
+    env = make_smaclite("3m", episode_limit=100)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    ap = state.ally_pos.at[0].set(jnp.array([0.0, 0.0]))
+    ap = ap.at[1].set(jnp.array([0.1, 0.0]))
+    ap = ap.at[2].set(jnp.array([-10.0, 5.0]))
+    state = state._replace(ally_pos=ap)
+    noop = jnp.zeros((3, 1), jnp.int32)
+    s2, _ = env.step(state, noop, jax.random.PRNGKey(1))
+    gap = float(jnp.linalg.norm(s2.ally_pos[0] - s2.ally_pos[1]))
+    assert gap > 0.1 + 1e-3  # pushed apart (marine radius 0.375 each)
+    # dead unit: no push
+    state_dead = state._replace(ally_health=state.ally_health.at[1].set(0.0))
+    s3, _ = env.step(state_dead, noop, jax.random.PRNGKey(1))
+    gap_dead = float(jnp.linalg.norm(s3.ally_pos[0] - s3.ally_pos[1]))
+    assert gap_dead <= 0.1 + 1e-3
