@@ -195,12 +195,44 @@ def _local_maps(ally_types, enemy_types, bits):
     return table(o), table(o)
 
 
-# SMACv2 race pools with capability-config weights (smacv2_map_config yamls)
+# SMACv2 race pools with capability-config weights (smacv2_map_config yamls);
+# the name→id table mirrors the reference unit_types strings
+SMACV2_UNIT_IDS = {
+    "marine": MARINE, "marauder": MARAUDER, "medivac": MEDIVAC,
+    "stalker": STALKER, "zealot": ZEALOT, "colossus": COLOSSUS,
+    "zergling": ZERGLING, "baneling": BANELING, "hydralisk": HYDRALISK,
+}
 SMACV2_POOLS = {
     "terran": ((MARINE, MARAUDER, MEDIVAC), (0.45, 0.45, 0.1)),
     "protoss": ((STALKER, ZEALOT, COLOSSUS), (0.45, 0.45, 0.1)),
     "zerg": ((ZERGLING, HYDRALISK, BANELING), (0.45, 0.45, 0.1)),
 }
+
+
+def load_smacv2_map_config(map_name: str):
+    """Resolve a SMACv2 capability config by name from the per-map yamls
+    (mirrors /root/reference/harl/configs/envs_cfgs/smacv2_map_config/*.yaml:
+    unit pools, weights, exception types, n_units asymmetries, spawn params).
+    Returns None when no yaml exists for the name."""
+    import pathlib
+
+    import yaml
+
+    path = (pathlib.Path(__file__).resolve().parents[2] / "configs"
+            / "envs_cfgs" / "smacv2_map_config" / f"{map_name}.yaml")
+    if not path.exists():
+        return None
+    cfg = yaml.safe_load(path.read_text())
+    tg = cfg["team_gen"]
+    pool = tuple(SMACV2_UNIT_IDS[u] for u in tg["unit_types"])
+    weights = tuple(float(w) for w in tg["weights"])
+    exc = tuple(SMACV2_UNIT_IDS[u] for u in tg.get("exception_unit_types", ()))
+    sp = cfg.get("start_positions", {})
+    return dict(
+        n_units=int(cfg["n_units"]), n_enemies=int(cfg["n_enemies"]),
+        pool=pool, weights=weights, exception_types=exc,
+        surround_p=float(sp.get("p", 0.5)),
+    )
 
 
 class SMACLiteState(NamedTuple):
@@ -233,6 +265,12 @@ class SMACLite:
     randomize_types: bool = False  # SMACv2 capability randomization
     race_pool: Tuple[int, ...] = PROTOSS_TYPES
     race_weights: Tuple[float, ...] = (0.45, 0.45, 0.1)
+    # SMACv2 capability-config extras: unit types a team may not consist of
+    # exclusively (terran: medivac, zerg: baneling) and the probability of
+    # the "surrounded" spawn branch (start_positions dist surrounded_and_
+    # reflect with p)
+    exception_types: Tuple[int, ...] = ()
+    surround_p: float = 0.5
     metric_keys = ("won", "dead_allies", "dead_enemies")
 
     # ------------------------------------------------------------- metadata
@@ -363,19 +401,51 @@ class SMACLite:
         k1, k2, k3, k4 = jax.random.split(key, 4)
         A, E = self.n_allies, self.n_enemies
         if self.randomize_types:
-            # SMACv2 weighted team generation + reflected random spawns
+            # SMACv2 weighted team generation (smacv2 weighted_teams): draw
+            # types from the race pool with capability weights; a team may
+            # not consist exclusively of exception types (terran medivac,
+            # zerg baneling) — force unit 0 to the heaviest non-exception
+            # type when that happens
             pool = jnp.asarray(self.race_pool)
             w = jnp.asarray(self.race_weights)
             ally_type = pool[jax.random.choice(k3, len(pool), (A,), p=w)]
             enemy_type = pool[jax.random.choice(k4, len(pool), (E,), p=w)]
-            ally_pos = jax.random.uniform(
-                k1, (A, 2), minval=jnp.array([-ARENA * 0.8, -ARENA * 0.5]),
+            if self.exception_types:
+                exc = jnp.asarray(self.exception_types)
+                w_ok = jnp.where(
+                    jnp.isin(pool, exc), 0.0, jnp.asarray(self.race_weights))
+                fallback = pool[jnp.argmax(w_ok)]
+
+                def fix(team):
+                    all_exc = jnp.all(jnp.isin(team, exc))
+                    return team.at[0].set(
+                        jnp.where(all_exc, fallback, team[0]))
+
+                ally_type = fix(ally_type)
+                enemy_type = fix(enemy_type)
+            # start_positions surrounded_and_reflect: with prob p the allies
+            # spawn clustered at the map center with enemies on a ring
+            # around them; otherwise reflected random spawns
+            ks, kr1, kr2, kang = jax.random.split(k1, 4)
+            surround = jax.random.uniform(ks) < self.surround_p
+            # --- reflect branch
+            ally_refl = jax.random.uniform(
+                kr1, (A, 2), minval=jnp.array([-ARENA * 0.8, -ARENA * 0.5]),
                 maxval=jnp.array([-2.0, ARENA * 0.5]))
-            ey = jax.random.uniform(k2, (E,), minval=-ARENA * 0.5,
+            ey = jax.random.uniform(kr2, (E,), minval=-ARENA * 0.5,
                                     maxval=ARENA * 0.5)
-            ex = -ally_pos[:, 0].mean() + jax.random.uniform(
-                k2, (E,), minval=-2.0, maxval=2.0)
-            enemy_pos = jnp.stack([ex, ey], axis=1)
+            ex = -ally_refl[:, 0].mean() + jax.random.uniform(
+                kr2, (E,), minval=-2.0, maxval=2.0)
+            enemy_refl = jnp.stack([ex, ey], axis=1)
+            # --- surrounded branch
+            ally_sur = 2.0 * jax.random.normal(kr1, (A, 2))
+            ang = jax.random.uniform(kang, (E,), minval=0.0,
+                                     maxval=2.0 * jnp.pi)
+            radius = jax.random.uniform(kr2, (E,), minval=8.0, maxval=11.0)
+            enemy_sur = jnp.stack(
+                [radius * jnp.cos(ang), radius * jnp.sin(ang)], axis=1)
+            ally_pos = jnp.where(surround, ally_sur, ally_refl)
+            enemy_pos = jnp.where(surround, enemy_sur, enemy_refl)
         else:
             ally_type = jnp.asarray(self.ally_types, jnp.int32)
             enemy_type = jnp.asarray(self.enemy_types, jnp.int32)
@@ -956,6 +1026,18 @@ def make_smaclite(map_name: str = "5m_vs_5m", **kwargs) -> SMACLite:
     'Nm_vs_Mm' marine pattern, or a SMACv2 capability name
     ('protoss_5_vs_5', 'terran_10_vs_11', …)."""
     episode_limit = kwargs.pop("episode_limit", None)
+    v2 = load_smacv2_map_config(map_name)
+    if v2 is not None:
+        return SMACLite(
+            ally_types=(v2["pool"][0],) * v2["n_units"],
+            enemy_types=(v2["pool"][0],) * v2["n_enemies"],
+            episode_limit=episode_limit or 150,
+            randomize_types=True,
+            race_pool=v2["pool"], race_weights=v2["weights"],
+            exception_types=v2["exception_types"],
+            surround_p=v2["surround_p"],
+            **kwargs,
+        )
     for race, (pool, weights) in SMACV2_POOLS.items():
         if map_name.startswith(race):
             parts = map_name.split("_")

@@ -374,3 +374,62 @@ def test_unit_collision_pushout():
     s3, _ = env.step(state_dead, noop, jax.random.PRNGKey(1))
     gap_dead = float(jnp.linalg.norm(s3.ally_pos[0] - s3.ally_pos[1]))
     assert gap_dead <= 0.1 + 1e-3
+
+
+def test_smacv2_map_config_yaml_parity():
+    """The 15 per-map capability yamls resolve by name with the reference's
+    pool/weight/exception/spawn values (smacv2_map_config/*.yaml)."""
+    from harl_tpu.envs.smaclite.smaclite import (
+        BANELING, COLOSSUS, HYDRALISK, MARAUDER, MARINE, MEDIVAC, STALKER,
+        ZEALOT, ZERGLING, load_smacv2_map_config)
+
+    names = [f"{race}_{n}_vs_{e}"
+             for race in ("protoss", "terran", "zerg")
+             for n, e in ((5, 5), (10, 10), (10, 11), (20, 20), (20, 23))]
+    assert len(names) == 15
+    for name in names:
+        v2 = load_smacv2_map_config(name)
+        assert v2 is not None, name
+        n, e = int(name.split("_")[1]), int(name.split("_")[3])
+        assert v2["n_units"] == n and v2["n_enemies"] == e
+        assert v2["surround_p"] == 0.5
+    p = load_smacv2_map_config("protoss_5_vs_5")
+    assert p["pool"] == (STALKER, ZEALOT, COLOSSUS)
+    assert p["weights"] == (0.45, 0.45, 0.1)
+    assert p["exception_types"] == ()
+    t = load_smacv2_map_config("terran_10_vs_11")
+    assert t["pool"] == (MARINE, MARAUDER, MEDIVAC)
+    assert t["exception_types"] == (MEDIVAC,)
+    z = load_smacv2_map_config("zerg_20_vs_23")
+    assert z["pool"] == (ZERGLING, BANELING, HYDRALISK)
+    assert z["weights"] == (0.45, 0.1, 0.45)
+    assert z["exception_types"] == (BANELING,)
+    assert load_smacv2_map_config("5m_vs_6m") is None
+
+
+def test_smacv2_exception_types_never_whole_team():
+    """A terran team can never consist exclusively of medivacs (the
+    exception_unit_types rule of the smacv2 team generator)."""
+    from harl_tpu.envs.smaclite.smaclite import MEDIVAC
+
+    env = make_smaclite("terran_5_vs_5")
+    for seed in range(40):
+        s, _ = env.reset(jax.random.PRNGKey(seed))
+        assert not bool(jnp.all(s.ally_type == MEDIVAC))
+        assert not bool(jnp.all(s.enemy_type == MEDIVAC))
+
+
+def test_smacv2_surrounded_and_reflect_spawns():
+    """Both spawn branches occur: surrounded (allies near center, enemies on
+    a ring) and reflected (allies on the west side)."""
+    env = make_smaclite("protoss_5_vs_5")
+    saw_surround = saw_reflect = False
+    for seed in range(30):
+        s, _ = env.reset(jax.random.PRNGKey(seed))
+        ally_r = float(jnp.linalg.norm(s.ally_pos, axis=1).max())
+        enemy_r = float(jnp.linalg.norm(s.enemy_pos, axis=1).min())
+        if ally_r < 7.0 and enemy_r > 7.5:
+            saw_surround = True
+        if float(s.ally_pos[:, 0].max()) < -1.9:
+            saw_reflect = True
+    assert saw_surround and saw_reflect
