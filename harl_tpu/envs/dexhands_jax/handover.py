@@ -87,23 +87,33 @@ class HandOverState(NamedTuple):
     goal_pos: jnp.ndarray  # (n_obj, 3)
     goal_quat: jnp.ndarray  # (n_obj, 4)
     succeeded: jnp.ndarray  # (n_obj,) bool — sticky per-object success flag
+    layout: jnp.ndarray    # () int32 — sampled layout index (meta tasks)
     t: jnp.ndarray         # () int32
+
+
+def _finger_base(n_fingers: int):
+    """Per-finger base offsets across the palm edge (arch layout)."""
+    if n_fingers == N_FINGERS:
+        return FINGER_BASE_X, FINGER_BASE_Y
+    x = np.linspace(-0.04, 0.04, n_fingers)
+    y = 0.05 + 0.01 * np.sin(np.linspace(0.0, np.pi, n_fingers))
+    return x, y
 
 
 def _fingertips(theta: jnp.ndarray, base_pos, fwd: float, up: float
                 ) -> jnp.ndarray:
-    """(5, 3) world fingertip positions for one hand.
+    """(F, 3) world fingertip positions for one hand (F = len(theta)//4).
 
     ``fwd`` = finger extension direction along y (+1/-1); ``up`` = palm
     normal / curl direction along z (+1 palm-up, -1 palm-down).
     """
-    th = theta.reshape(N_FINGERS, 4)
+    F = theta.shape[0] // 4
+    th = theta.reshape(F, 4)
     abduct = th[:, 0] * ABDUCT_RANGE
-    flex = jnp.cumsum(jnp.clip(th[:, 1:], FLEX_LO, FLEX_HI), axis=1)  # (5, 3)
+    flex = jnp.cumsum(jnp.clip(th[:, 1:], FLEX_LO, FLEX_HI), axis=1)  # (F, 3)
+    bx, by = _finger_base(F)
     base = jnp.stack(
-        [jnp.asarray(FINGER_BASE_X),
-         fwd * jnp.asarray(FINGER_BASE_Y),
-         jnp.zeros(N_FINGERS)], axis=1)
+        [jnp.asarray(bx), fwd * jnp.asarray(by), jnp.zeros(F)], axis=1)
     base = base + jnp.asarray(base_pos)
     # in-palm-plane finger direction rotated by abduction about palm normal
     ca, sa = jnp.cos(abduct), jnp.sin(abduct)
@@ -139,6 +149,12 @@ def _quat_angle(a, b):
 # (hand_pos[2], fwd[2], up[2], obj_start_hand[n_obj], goal_hand[n_obj])
 # obj starts resting on (palm-up) / hanging under (palm-down) its start hand;
 # each goal sits in the grasp region of its goal hand.
+# Optional keys: ``n_fingers`` (4 = Allegro: 16 actuated DoF per hand,
+# allegro_hand_over.py numActions=16; default 5 = Shadow), ``success``
+# ("dist" | "rot" | "both" — re_orientation judges orientation,
+# success_tolerance 0.1), ``layouts`` (meta tasks: a list of base-task
+# names sampled uniformly per episode, shadow_hand_meta/*_task_info.py),
+# ``goal_noise`` (meta goal-variation half-width).
 _TASKS = {
     # receiver at z=0.16: the tossing hand's achievable apex is ~0.10 m
     # (fingertip flick ballistics), so the goal (0.06 under the receiving
@@ -171,6 +187,39 @@ _TASKS = {
         hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
         fwd=(1.0, -1.0), up=(1.0, 1.0),
         obj_start_hand=(0, 1), goal_hand=(1, 0)),
+    # in-hand re-orientation: both palms up, each hand rotates its own
+    # object in place to a random goal orientation; success is rotational
+    # (shadow_hand_re_orientation.py)
+    "ShadowHandReOrientation": dict(
+        hand_pos=((-0.16, 0.0, 0.0), (0.16, 0.0, 0.0)),
+        fwd=(1.0, 1.0), up=(1.0, 1.0),
+        obj_start_hand=(0, 1), goal_hand=(0, 1), success="rot"),
+    # Allegro variants: 4-finger hands, 16 actuated DoF per agent
+    # (allegro_hand_over.py / allegro_hand_catch_underarm.py)
+    "AllegroHandOver": dict(
+        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.0, 0.16)),
+        fwd=(1.0, -1.0), up=(1.0, -1.0),
+        obj_start_hand=(0,), goal_hand=(1,), n_fingers=4),
+    "AllegroHandCatchUnderarm": dict(
+        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
+        fwd=(1.0, -1.0), up=(1.0, 1.0),
+        obj_start_hand=(0,), goal_hand=(1,), n_fingers=4),
+    # meta family (shadow_hand_meta/): MT1/ML1 train on catch_underarm with
+    # wider goal variation; MT4 samples a catch-family layout per episode
+    # (the reference's MT4 set swaps two_catch for catch_over2underarm here
+    # to keep one object slot — static shapes under vmap)
+    "ShadowHandMetaMT1": dict(
+        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
+        fwd=(1.0, -1.0), up=(1.0, 1.0),
+        obj_start_hand=(0,), goal_hand=(1,), goal_noise=0.03),
+    "ShadowHandMetaML1": dict(
+        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
+        fwd=(1.0, -1.0), up=(1.0, 1.0),
+        obj_start_hand=(0,), goal_hand=(1,), goal_noise=0.03),
+    "ShadowHandMetaMT4": dict(
+        layouts=("ShadowHandOver", "ShadowHandCatchUnderarm",
+                 "ShadowHandCatchOver2Underarm", "ShadowHandCatchAbreast"),
+        obj_start_hand=(0,), goal_hand=(1,), goal_noise=0.03),
 }
 
 DEXHANDS_TASKS = tuple(_TASKS)
@@ -178,7 +227,9 @@ DEXHANDS_TASKS = tuple(_TASKS)
 
 @dataclasses.dataclass(frozen=True)
 class ShadowHandOver:
-    """2-agent bimanual manipulation; agent h controls hand h's 20 joints."""
+    """2-agent bimanual manipulation; agent h controls hand h's joints
+    (20 for Shadow, 16 for Allegro). Meta tasks sample a layout per episode
+    (the ``layout`` state field indexes the stacked layout tables)."""
 
     task: str = "ShadowHandOver"
     episode_length: int = 75
@@ -190,16 +241,42 @@ class ShadowHandOver:
         return _TASKS[self.task]
 
     @property
+    def _layout_names(self):
+        return self._cfg.get("layouts", (self.task,))
+
+    def _layout_table(self, key):
+        """Stacked per-layout arrays: [L, ...]."""
+        rows = []
+        for name in self._layout_names:
+            c = _TASKS[name] if "layouts" in self._cfg else self._cfg
+            rows.append(np.asarray(c[key], np.float32))
+        return jnp.asarray(np.stack(rows))
+
+    @property
+    def n_fingers(self) -> int:
+        return int(self._cfg.get("n_fingers", N_FINGERS))
+
+    @property
+    def n_joints(self) -> int:
+        return 4 * self.n_fingers
+
+    @property
+    def success_mode(self) -> str:
+        return self._cfg.get("success", "dist")
+
+    @property
     def n_objects(self) -> int:
         return len(self._cfg["obj_start_hand"])
 
     @property
     def obs_dim(self) -> int:
-        return 20 + 20 + 15 + self.n_objects * (13 + 7 + 3)
+        return (2 * self.n_joints + 3 * self.n_fingers
+                + self.n_objects * (13 + 7 + 3))
 
     @property
     def state_dim(self) -> int:
-        return 40 + 40 + 30 + self.n_objects * (13 + 7 + 3)
+        return (4 * self.n_joints + 6 * self.n_fingers
+                + self.n_objects * (13 + 7 + 3))
 
     @property
     def observation_space(self):
@@ -211,33 +288,44 @@ class ShadowHandOver:
 
     @property
     def action_space(self):
-        return [spaces.Box.create(-1.0, 1.0, N_JOINTS)] * 2
+        return [spaces.Box.create(-1.0, 1.0, self.n_joints)] * 2
 
-    def _hand(self, h: int):
-        c = self._cfg
-        return np.asarray(c["hand_pos"][h]), c["fwd"][h], c["up"][h]
+    def _hand(self, state: HandOverState, h: int):
+        """Layout-resolved (pos, fwd, up) for hand h."""
+        L = state.layout
+        return (self._layout_table("hand_pos")[L, h],
+                self._layout_table("fwd")[L, h],
+                self._layout_table("up")[L, h])
 
     @property
     def _drop_z(self) -> float:
-        return min(p[2] for p in self._cfg["hand_pos"]) - 0.08
+        zs = [p[2]
+              for name in self._layout_names
+              for p in (_TASKS[name] if "layouts" in self._cfg
+                        else self._cfg)["hand_pos"]]
+        return min(zs) - 0.08
 
     # ------------------------------------------------------------------ api
     def reset(self, key) -> Tuple[HandOverState, TimeStep]:
         c = self._cfg
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        theta = jnp.zeros((2, N_JOINTS))
-        starts, goals = [], []
-        for o in range(self.n_objects):
-            pos, fwd, up = self._hand(c["obj_start_hand"][o])
-            # rest on a palm-up hand; hang just under a palm-down hand
-            starts.append(pos + np.array(
-                [0.0, fwd * 0.045, up * (OBJ_RADIUS + 0.002)]))
-            gpos, gfwd, gup = self._hand(c["goal_hand"][o])
-            goals.append(gpos + np.array([0.0, gfwd * 0.045, gup * 0.06]))
-        obj_pos = jnp.asarray(np.stack(starts)) + \
-            0.01 * jax.random.normal(k1, (self.n_objects, 3))
-        goal_pos = jnp.asarray(np.stack(goals)) + \
-            0.01 * jax.random.normal(k2, (self.n_objects, 3))
+        k0, k1, k2, k3, k4 = jax.random.split(key, 5)
+        layout = jax.random.randint(k0, (), 0, len(self._layout_names))
+        theta = jnp.zeros((2, self.n_joints))
+        hp = self._layout_table("hand_pos")[layout]       # (2, 3)
+        fw = self._layout_table("fwd")[layout]            # (2,)
+        up = self._layout_table("up")[layout]             # (2,)
+        sh = jnp.asarray(c["obj_start_hand"])
+        gh = jnp.asarray(c["goal_hand"])
+        # rest on a palm-up hand; hang just under a palm-down hand
+        starts = hp[sh] + jnp.stack(
+            [jnp.zeros(self.n_objects), fw[sh] * 0.045,
+             up[sh] * (OBJ_RADIUS + 0.002)], axis=1)
+        goals = hp[gh] + jnp.stack(
+            [jnp.zeros(self.n_objects), fw[gh] * 0.045, up[gh] * 0.06],
+            axis=1)
+        noise = float(c.get("goal_noise", 0.01))
+        obj_pos = starts + 0.01 * jax.random.normal(k1, (self.n_objects, 3))
+        goal_pos = goals + noise * jax.random.normal(k2, (self.n_objects, 3))
         ax = jax.random.normal(k3, (self.n_objects, 3))
         ax = ax / (jnp.linalg.norm(ax, axis=1, keepdims=True) + 1e-8)
         ang = jax.random.uniform(
@@ -253,26 +341,30 @@ class ShadowHandOver:
             obj_omg=jnp.zeros((self.n_objects, 3)),
             goal_pos=goal_pos, goal_quat=goal_quat,
             succeeded=jnp.zeros((self.n_objects,), bool),
+            layout=layout,
             t=jnp.zeros((), jnp.int32))
         return state, self._timestep(state, jnp.zeros(()), jnp.zeros((), bool),
                                      jnp.zeros((), bool), jnp.zeros((), bool))
 
     def step(self, state: HandOverState, actions, key):
         del key
-        a = jnp.clip(jnp.asarray(actions).reshape(2, N_JOINTS), -1.0, 1.0)
+        a = jnp.clip(jnp.asarray(actions).reshape(2, self.n_joints), -1.0, 1.0)
         # servo targets from actions (abduction symmetric, flexion to range)
-        tgt = a.reshape(2, N_FINGERS, 4)
+        tgt = a.reshape(2, self.n_fingers, 4)
         tgt = jnp.concatenate(
             [tgt[..., :1],
              FLEX_LO + (tgt[..., 1:] + 1.0) * 0.5 * (FLEX_HI - FLEX_LO)],
-            axis=-1).reshape(2, N_JOINTS)
+            axis=-1).reshape(2, self.n_joints)
 
+        hp = self._layout_table("hand_pos")[state.layout]
+        fw = self._layout_table("fwd")[state.layout]
+        upv = self._layout_table("up")[state.layout]
         theta, obj_pos, obj_quat, obj_vel, obj_omg = (
             state.theta, state.obj_pos, state.obj_quat, state.obj_vel,
             state.obj_omg)
         for _ in range(SUBSTEPS):
             theta, obj_pos, obj_quat, obj_vel, obj_omg = self._substep(
-                theta, tgt, obj_pos, obj_quat, obj_vel, obj_omg)
+                theta, tgt, obj_pos, obj_quat, obj_vel, obj_omg, hp, fw, upv)
 
         dist = jnp.linalg.norm(obj_pos - state.goal_pos, axis=1)  # (n_obj,)
         rot = _quat_angle(obj_quat, state.goal_quat)
@@ -286,7 +378,16 @@ class ShadowHandOver:
         # return-maximizing — the won=0.02 plateau of round 2.)
         reward = (jnp.sum(jnp.exp(-0.2 * (50.0 * dist + rot)))
                   - 0.0002 * jnp.sum(a ** 2))
-        succeeded = state.succeeded | (dist < 0.03)
+        # success criterion per task: positional (catch family), rotational
+        # (re_orientation, success_tolerance 0.1), or both
+        ok_dist, ok_rot = dist < 0.03, rot < 0.1
+        if self.success_mode == "rot":
+            ok = ok_rot
+        elif self.success_mode == "both":
+            ok = ok_dist & ok_rot
+        else:
+            ok = ok_dist
+        succeeded = state.succeeded | ok
         success = jnp.all(succeeded)
         dropped = jnp.any(obj_pos[:, 2] < self._drop_z)
         new_t = state.t + 1
@@ -296,24 +397,27 @@ class ShadowHandOver:
         new_state = HandOverState(
             theta=theta, theta_t=tgt, obj_pos=obj_pos, obj_quat=obj_quat,
             obj_vel=obj_vel, obj_omg=obj_omg, goal_pos=state.goal_pos,
-            goal_quat=state.goal_quat, succeeded=succeeded, t=new_t)
+            goal_quat=state.goal_quat, succeeded=succeeded,
+            layout=state.layout, t=new_t)
         return new_state, self._timestep(new_state, reward, done, bad, success)
 
     # ------------------------------------------------------------- dynamics
-    def _substep(self, theta, tgt, obj_pos, obj_quat, obj_vel, obj_omg):
+    def _substep(self, theta, tgt, obj_pos, obj_quat, obj_vel, obj_omg,
+                 hp, fw, upv):
         # servo joints
         theta_dot = jnp.clip(SERVO_GAIN * (tgt - theta), -JOINT_VMAX, JOINT_VMAX)
         new_theta = theta + DT * theta_dot
+        F = self.n_fingers
         new_theta = new_theta.at[:, :].set(jnp.concatenate(
-            [jnp.clip(new_theta.reshape(2, N_FINGERS, 4)[..., :1], -1.0, 1.0),
-             jnp.clip(new_theta.reshape(2, N_FINGERS, 4)[..., 1:],
-                      FLEX_LO, FLEX_HI)], axis=-1).reshape(2, N_JOINTS))
+            [jnp.clip(new_theta.reshape(2, F, 4)[..., :1], -1.0, 1.0),
+             jnp.clip(new_theta.reshape(2, F, 4)[..., 1:],
+                      FLEX_LO, FLEX_HI)], axis=-1).reshape(2, self.n_joints))
 
         force = jnp.tile(jnp.array([[0.0, 0.0, -OBJ_MASS * GRAVITY]]),
                          (self.n_objects, 1))
         torque = jnp.zeros((self.n_objects, 3))
         for h in range(2):
-            pos, fwd, up = self._hand(h)
+            pos, fwd, up = hp[h], fw[h], upv[h]
             tips, tips_v = jax.jvp(
                 lambda th: _fingertips(th, pos, fwd, up), (new_theta[h],),
                 ((new_theta[h] - theta[h]) / DT,))
@@ -351,7 +455,7 @@ class ShadowHandOver:
         # contact point on object surface; relative velocity there
         rc = -OBJ_RADIUS * n                              # from object center
         v_obj = obj_vel[None, :] + jnp.cross(
-            jnp.broadcast_to(obj_omg, (N_FINGERS, 3)), rc)
+            jnp.broadcast_to(obj_omg, tips.shape), rc)
         v_rel = v_obj - tips_v
         vn = jnp.sum(v_rel * n, axis=1)
         N = jnp.maximum(CONTACT_K * pen - CONTACT_D * vn * (pen > 0), 0.0)
@@ -369,7 +473,7 @@ class ShadowHandOver:
             jnp.abs(obj_pos[0] - palm[0]) < PALM_HALF + OBJ_RADIUS,
             jnp.abs(obj_pos[1] - palm[1]) < PALM_HALF + OBJ_RADIUS)
         pen = jnp.maximum(-gap, 0.0) * inside
-        n = jnp.array([0.0, 0.0, up])
+        n = jnp.stack([jnp.zeros(()), jnp.zeros(()), jnp.asarray(up)])
         rc = -OBJ_RADIUS * n
         v_c = obj_vel + jnp.cross(obj_omg, rc)
         vn = jnp.sum(v_c * n)
@@ -398,8 +502,8 @@ class ShadowHandOver:
     def _timestep(self, state, reward, done, bad, success) -> TimeStep:
         theta_dot = jnp.clip(
             SERVO_GAIN * (state.theta_t - state.theta), -JOINT_VMAX, JOINT_VMAX)
-        p0, f0, u0 = self._hand(0)
-        p1, f1, u1 = self._hand(1)
+        p0, f0, u0 = self._hand(state, 0)
+        p1, f1, u1 = self._hand(state, 1)
         tips0 = _fingertips(state.theta[0], p0, f0, u0).reshape(-1)
         tips1 = _fingertips(state.theta[1], p1, f1, u1).reshape(-1)
         obj = jnp.concatenate(
