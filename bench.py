@@ -128,26 +128,31 @@ def main():
         float(metrics["value_loss"])
         _log(f"warmup iteration {i + 1}/3 done")
 
-    # steady state: timed blocks of `block` iterations, each synced by a value
-    # fetch.  The running mean over completed blocks is the best-effort result
-    # the alarm handler emits if a later block wedges.
-    block, n_blocks = 3, 6
+    # steady state: a small first block gives an early partial measurement
+    # (what the alarm handler emits on a wedge); the later large blocks keep
+    # the dispatch pipeline full across 15 iterations before syncing, so the
+    # per-sync drain does not tax the steady-state figure. The reported rate
+    # is over the large blocks once any completed.
+    blocks = [3, 15, 15]
     steps_per_iter = episode_length * n_threads
     total_steps = 0
     total_dt = 0.0
-    for b in range(n_blocks):
+    for b, block in enumerate(blocks):
         t0 = time.time()
         for _ in range(block):
             state, metrics = runner._train_iteration(state)
         float(metrics["value_loss"])  # hard sync on the block's last output
         dt = time.time() - t0
+        if b == 1:
+            total_steps, total_dt = 0, 0.0  # drop the drain-taxed first block
         total_steps += block * steps_per_iter
         total_dt += dt
         _best["fps"] = total_steps / total_dt
         _best["blocks"] = b + 1
         _log(
-            f"block {b + 1}/{n_blocks}: {block * steps_per_iter / dt:,.0f} "
-            f"steps/s (running mean {_best['fps']:,.0f})"
+            f"block {b + 1}/{len(blocks)} ({block} iters): "
+            f"{block * steps_per_iter / dt:,.0f} steps/s "
+            f"(reported {_best['fps']:,.0f})"
         )
 
     _done = True
