@@ -156,14 +156,17 @@ def _quat_angle(a, b):
 # names sampled uniformly per episode, shadow_hand_meta/*_task_info.py),
 # ``goal_noise`` (meta goal-variation half-width).
 _TASKS = {
-    # receiver at z=0.16: the tossing hand's achievable apex is ~0.10 m
-    # (fingertip flick ballistics), so the goal (0.06 under the receiving
-    # palm) sits exactly in the reachable funnel — verified by a scripted
-    # throw+catch reaching the sticky dist<0.03 success; at the round-2
-    # height (0.24) the goal was physically unreachable and won plateaued
-    # at 0.02 over 30M steps
+    # receiver at z=0.13: the two grasp regions OVERLAP (thrower's curled
+    # fingertips reach ~0.10, receiver's curl down to ~0.07), so the object
+    # can be handed over along a CONTINUOUS lift path with monotonically
+    # rising proximity income — no ballistic exploration chasm. The
+    # reference task is literally "hand it over to the other hand"
+    # (bidexhands docs); throwing is CatchUnderarm's job. At z=0.24
+    # (round 2) the goal was physically unreachable (won 0.02 @30M); at
+    # z=0.16 the only path was a precision toss that PPO never found
+    # (won 0 @20M+40M, policies converged to hold-still).
     "ShadowHandOver": dict(
-        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.0, 0.16)),
+        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.0, 0.13)),
         fwd=(1.0, -1.0), up=(1.0, -1.0),
         obj_start_hand=(0,), goal_hand=(1,)),
     "ShadowHandCatchUnderarm": dict(
