@@ -173,6 +173,7 @@ def test_handover_scripted_lift_succeeds():
     the physically achievable apex (won 0.02 @30M) and the z=0.16 variant
     required a precision toss PPO never found (won 0 @20M+40M)."""
     env = make_handover({"task": "ShadowHandOver"})
+    step = jax.jit(env.step)
     won = 0.0
     for seed in range(8):  # open-loop lift vs randomized goal: any seed
         state, ts = env.reset(jax.random.PRNGKey(seed))
@@ -181,7 +182,7 @@ def test_handover_scripted_lift_succeeds():
             a0 = np.tile(np.array([0.0, ramp, 0.6 * ramp, 0.2 * ramp]), 5)
             a1 = (np.tile(np.array([0.0, 0.7, 0.5, 0.2]), 5)
                   if float(state.obj_pos[0, 2]) > 0.055 else np.full(20, -1.0))
-            state, ts = env.step(
+            state, ts = step(
                 state, jnp.asarray(np.stack([a0, a1])), jax.random.PRNGKey(t))
             won = max(won, float(ts.metrics["won"]))
             if bool(ts.dones.all()):
