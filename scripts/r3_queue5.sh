@@ -24,15 +24,12 @@ scripts/r3_queue.sh mpe_spread_discrete_happo python -m harl_tpu.train \
   --exp_name val_r3
 scripts/r3_queue.sh mpe_spread_hasac python -m harl_tpu.train \
   --load_config tuned_configs/pettingzoo_mpe/simple_spread_v2-continuous/hasac/config.json \
-  --exp_name val_r3 --num_env_steps 5000000
+  --exp_name val_r3 --num_env_steps 3000000
 scripts/r3_queue.sh mpe_speaker_listener_happo python -m harl_tpu.train \
   --load_config tuned_configs/pettingzoo_mpe/simple_speaker_listener_v3-discrete/happo/config.json \
   --exp_name val_r3 --num_env_steps 5000000
 scripts/r3_queue.sh smac_5m_vs_6m_hatrpo python -m harl_tpu.train \
   --load_config tuned_configs/smaclite/5m_vs_6m/hatrpo/config.json \
-  --exp_name val_r3 --n_rollout_threads 64 --eval_interval 50
-scripts/r3_queue.sh walker6x1_hatd3_10m python -m harl_tpu.train \
-  --load_config tuned_configs/mamujoco_jax/Walker2d-v2-6x1/hatd3/config.json \
-  --exp_name val_r3
+  --exp_name val_r3 --n_rollout_threads 64 --eval_interval 50 --num_env_steps 10000000
 scripts/r3_queue.sh bench_check python bench.py
 echo QUEUE5_DONE >> results/validation_r3/queue.out
