@@ -3,6 +3,12 @@
 # Humanoid, MPE discrete parity, pixel-CNN soccer learning run.
 cd /root/repo
 while ! grep -q QUEUE4_DONE results/validation_r3/queue.out 2>/dev/null; do sleep 60; done
+scripts/r3_queue.sh dex_handover_lateral_100m python -m harl_tpu.train \
+  --algo happo --env dexhands_jax --exp_name expE --task ShadowHandOver \
+  --num_env_steps 100000000 --n_rollout_threads 1024 --episode_length 75 \
+  --log_interval 60 --eval_interval 180 --eval_episodes 64 \
+  --n_eval_rollout_threads 64 --ppo_epoch 5 --critic_epoch 5 \
+  --entropy_coef 0.003 --use_linear_lr_decay True
 for SCEN in academy_pass_and_shoot_with_keeper academy_run_pass_and_shoot_with_keeper academy_counterattack_easy; do
 scripts/r3_queue.sh football_${SCEN#academy_} python -m harl_tpu.train \
   --load_config tuned_configs/football_jax/$SCEN/happo/config.json \
