@@ -433,3 +433,20 @@ def test_smacv2_surrounded_and_reflect_spawns():
         if float(s.ally_pos[:, 0].max()) < -1.9:
             saw_reflect = True
     assert saw_surround and saw_reflect
+
+
+def test_enemy_bot_beats_passive_allies():
+    """Lower bound on bot strength: allies that stand still must be wiped
+    out on 5m_vs_6m with zero enemy deaths — guards against fidelity
+    changes making the bot exploitably passive."""
+    env = make_smaclite("5m_vs_6m", episode_limit=70)
+    step = jax.jit(env.step)
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    noop = jnp.ones((5, 1), jnp.int32)  # stop
+    for t in range(70):
+        state, ts = step(state, noop, jax.random.PRNGKey(t))
+        if bool(ts.dones.all()):
+            break
+    assert bool(jnp.all(state.ally_health <= 0))
+    assert bool(jnp.all(state.enemy_health > 0))
+    assert float(ts.metrics["won"]) == 0.0
