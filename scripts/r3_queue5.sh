@@ -37,5 +37,13 @@ scripts/r3_queue.sh mpe_speaker_listener_happo python -m harl_tpu.train \
 scripts/r3_queue.sh smac_5m_vs_6m_hatrpo python -m harl_tpu.train \
   --load_config tuned_configs/smaclite/5m_vs_6m/hatrpo/config.json \
   --exp_name val_r3 --n_rollout_threads 64 --eval_interval 50 --num_env_steps 10000000
+for TASK in ShadowHandCatchUnderarm AllegroHandOver ShadowHandMetaMT4; do
+scripts/r3_queue.sh dex_${TASK}_30m python -m harl_tpu.train \
+  --algo happo --env dexhands_jax --exp_name val_r3 --task $TASK \
+  --num_env_steps 30000000 --n_rollout_threads 1024 --episode_length 75 \
+  --log_interval 60 --eval_interval 120 --eval_episodes 64 \
+  --n_eval_rollout_threads 64 --ppo_epoch 5 --critic_epoch 5 \
+  --entropy_coef 0.003 --use_linear_lr_decay True
+done
 scripts/r3_queue.sh bench_check python bench.py
 echo QUEUE5_DONE >> results/validation_r3/queue.out
