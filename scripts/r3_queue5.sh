@@ -45,5 +45,8 @@ scripts/r3_queue.sh dex_${TASK}_30m python -m harl_tpu.train \
   --n_eval_rollout_threads 64 --ppo_epoch 5 --critic_epoch 5 \
   --entropy_coef 0.003 --use_linear_lr_decay True
 done
+scripts/r3_queue.sh smac_5m_vs_6m_happo_seed2 python -m harl_tpu.train \
+  --load_config tuned_configs/smaclite/5m_vs_6m/happo/config.json \
+  --exp_name val_r3_s2 --seed 2 --num_env_steps 12000000
 scripts/r3_queue.sh bench_check python bench.py
 echo QUEUE5_DONE >> results/validation_r3/queue.out
