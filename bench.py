@@ -26,8 +26,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
-import signal
 import sys
+import threading
 import time
 
 sys.path.insert(0, ".")
@@ -63,7 +63,10 @@ def _emit(fps):
     )
 
 
-def _alarm(signum, frame):
+def _deadline():
+    # runs on a daemon thread: fires even while the main thread is blocked
+    # inside a C call (PJRT device claim, XLA compile, device fetch) where a
+    # SIGALRM handler would never get to run — exactly the round-2 wedge
     if _done:
         return
     if _best["fps"] is not None:
@@ -82,8 +85,9 @@ def _alarm(signum, frame):
 
 
 T0 = time.time()
-signal.signal(signal.SIGALRM, _alarm)
-signal.alarm(DEADLINE_S)
+_timer = threading.Timer(DEADLINE_S, _deadline)
+_timer.daemon = True
+_timer.start()
 
 
 def main():
@@ -156,7 +160,7 @@ def main():
         )
 
     _done = True
-    signal.alarm(0)
+    _timer.cancel()
     _emit(_best["fps"])
 
 

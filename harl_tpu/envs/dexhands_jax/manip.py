@@ -44,7 +44,6 @@ from harl_tpu.envs.dexhands_jax.handover import (
     DT,
     FLEX_HI,
     FLEX_LO,
-    FRICTION_MU,
     FRICTION_VREG,
     GRAVITY,
     JOINT_VMAX,
@@ -52,9 +51,15 @@ from harl_tpu.envs.dexhands_jax.handover import (
     N_JOINTS,
     SERVO_GAIN,
     SUBSTEPS,
-    TIP_RADIUS,
     _fingertips,
 )
+
+# manip keeps the contact constants its task family was VALIDATED with
+# (DoorOpenOutward won=1.0 @10M, validation/r3/) — the catch family later
+# retuned its own TIP_RADIUS/FRICTION_MU for ball-cradle carries and those
+# must not silently leak into the hinge/table tasks
+TIP_RADIUS = 0.012
+FRICTION_MU = 1.0
 
 HANDLE_R = 0.025
 TABLE_Z = -0.05

@@ -525,9 +525,14 @@ class SMACLite:
         pos = jnp.concatenate([ally_pos, enemy_pos], axis=0)          # (U,2)
         solid = jnp.concatenate([a_solid, e_solid], axis=0)           # (U,)
         rad = TYPE_RADIUS[jnp.concatenate([ally_type, enemy_type])]
-        delta = pos[:, None, :] - pos[None, :, :]                     # (U,U,2)
-        dist = jnp.linalg.norm(delta, axis=-1)
         U = pos.shape[0]
+        delta = pos[:, None, :] - pos[None, :, :]                     # (U,U,2)
+        # perfectly coincident units would get IDENTICAL fallback push
+        # directions (staying stacked forever); an antisymmetric index-based
+        # nudge makes their separation directions opposite
+        idx = jnp.arange(U, dtype=pos.dtype)
+        delta = delta.at[..., 0].add(1e-4 * (idx[:, None] - idx[None, :]))
+        dist = jnp.linalg.norm(delta, axis=-1)
         pair = solid[:, None] & solid[None, :] & ~jnp.eye(U, dtype=bool)
         overlap = jnp.maximum(rad[:, None] + rad[None, :] - dist, 0.0)
         overlap = jnp.where(pair, overlap, 0.0)
@@ -614,13 +619,22 @@ class SMACLite:
         cur_ok = ((state.enemy_tgt >= 0) & ally_alive[cur]
                   & jnp.take_along_axis(in_sight, cur[:, None], 1)[:, 0]
                   & (cur_in_wr | ~hit_now))
+        # re-scan preference: closest ally in WEAPON range first (so a
+        # retaliating unit turns on someone it can actually shoot instead of
+        # re-locking the out-of-range bait), else closest in sight, else
+        # advance toward the closest anywhere
+        d_wr = jnp.where(ally_alive[None, :] & in_wr, dist_ea, 1e9)
+        cand_wr = jnp.argmin(d_wr, axis=1)
+        has_wr = jnp.min(d_wr, axis=1) < 1e9
         d_sight = jnp.where(ally_alive[None, :] & in_sight, dist_ea, 1e9)
         cand_sight = jnp.argmin(d_sight, axis=1)
         has_sight = jnp.min(d_sight, axis=1) < 1e9
         d_any = jnp.where(ally_alive[None, :], dist_ea, 1e9)
         cand_any = jnp.argmin(d_any, axis=1)
-        e_tgt = jnp.where(cur_ok, cur,
-                          jnp.where(has_sight, cand_sight, cand_any))
+        e_tgt = jnp.where(
+            cur_ok, cur,
+            jnp.where(has_wr, cand_wr,
+                      jnp.where(has_sight, cand_sight, cand_any)))
         any_ally = jnp.any(ally_alive)
         e_want = enemy_alive & ~is_med_e & any_ally
         dmg_to_ally, bane_e, enemy_pos, enemy_cd, _ = self._attack_phase(

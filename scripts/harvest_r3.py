@@ -22,7 +22,7 @@ for log in sorted(glob.glob("results/validation_r3/*.log")):
         m = re.match(r"\s*eval @ (\d+): return ([-\d.]+)(.*)", line)
         if m:
             evals.append((int(m.group(1)), float(m.group(2))))
-            for em in re.finditer(r"(\w+)[=]([\d.]+)", m.group(3)):
+            for em in re.finditer(r"(\w+)[=](-?[\d.]+)", m.group(3)):
                 extras.setdefault(em.group(1), []).append(
                     (int(m.group(1)), float(em.group(2))))
         rm = re.match(r"results saved under (\S+)", line)
