@@ -101,7 +101,9 @@ def main():
     from harl_tpu.runners.on_policy import OnPolicyRunner
     from harl_tpu.utils.config_tools import get_defaults_yaml_args
 
-    n_threads = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2048
+    # 4096 envs is the single-chip sweet spot (measured: 2048 → 1.42M,
+    # 4096 → 1.56M, 8192 → 1.35M env-steps/s)
+    n_threads = int(float(sys.argv[1])) if len(sys.argv) > 1 else 4096
     episode_length = 32
     algo_args, env_args = get_defaults_yaml_args("happo", "mamujoco_jax")
     algo_args["train"].update(
