@@ -48,5 +48,14 @@ done
 scripts/r3_queue.sh smac_5m_vs_6m_happo_seed2 python -m harl_tpu.train \
   --load_config tuned_configs/smaclite/5m_vs_6m/happo/config.json \
   --exp_name val_r3_s2 --seed 2 --num_env_steps 12000000
+scripts/r3_queue.sh mpe_spread_had3qn python -m harl_tpu.train \
+  --load_config tuned_configs/pettingzoo_mpe/simple_spread_v2-discrete/had3qn/config.json \
+  --exp_name val_r3 --num_env_steps 3000000
+scripts/r3_queue.sh mpe_spread_haa2c python -m harl_tpu.train \
+  --load_config tuned_configs/pettingzoo_mpe/simple_spread_v2-continuous/haa2c/config.json \
+  --exp_name val_r3 --num_env_steps 4000000
+scripts/r3_queue.sh mpe_spread_mappo python -m harl_tpu.train \
+  --load_config tuned_configs/pettingzoo_mpe/simple_spread_v2-continuous/mappo/config.json \
+  --exp_name val_r3 --num_env_steps 4000000
 scripts/r3_queue.sh bench_check python bench.py
 echo QUEUE5_DONE >> results/validation_r3/queue.out
