@@ -57,7 +57,7 @@ def get_task_name(env: str, env_args: Dict) -> str:
         return f"{env_args.get('scenario', '')}-{env_args.get('agent_conf', '')}"
     if env in ("smac", "smacv2", "smax"):
         return env_args.get("map_name", "unknown")
-    if env == "football":
+    if env in ("football", "football_jax"):
         return env_args.get("env_name", "unknown")
     if env == "gym":
         return env_args.get("scenario", "unknown")
