@@ -1012,10 +1012,19 @@ class OffPolicyRunner:
                     logger.log_episode(rec)
                 if log_fn:
                     log_fn(rec)
-                if save_dir is not None:
-                    from harl_tpu.utils.checkpoint import save_state
+                # off-policy train states embed the replay buffer (GBs):
+                # every save pays a full device fetch over the (possibly
+                # remote) link, so checkpoint sparsely and prune old ones
+                if save_dir is not None and (
+                    block % (blocks_per_eval * 5) == 0 or block == total_blocks
+                ):
+                    from harl_tpu.utils.checkpoint import (
+                        prune_checkpoints,
+                        save_state,
+                    )
 
                     save_state(save_dir, state, steps)
+                    prune_checkpoints(save_dir, keep=2)
         return state, history
 
     def _run_host(self, seed, state, logger=None, save_dir=None, log_fn=None):
@@ -1058,8 +1067,17 @@ class OffPolicyRunner:
                     logger.log_episode(rec)
                 if log_fn:
                     log_fn(rec)
-                if save_dir is not None:
-                    from harl_tpu.utils.checkpoint import save_state
+                # off-policy train states embed the replay buffer (GBs):
+                # every save pays a full device fetch over the (possibly
+                # remote) link, so checkpoint sparsely and prune old ones
+                if save_dir is not None and (
+                    block % (blocks_per_eval * 5) == 0 or block == total_blocks
+                ):
+                    from harl_tpu.utils.checkpoint import (
+                        prune_checkpoints,
+                        save_state,
+                    )
 
                     save_state(save_dir, state, steps)
+                    prune_checkpoints(save_dir, keep=2)
         return state, history

@@ -36,3 +36,21 @@ def latest_checkpoint(save_dir: str):
         return None
     latest = max(ckpts, key=lambda d: int(d.split("_")[1]))
     return os.path.join(save_dir, latest)
+
+
+def prune_checkpoints(save_dir: str, keep: int = 2) -> None:
+    """Delete all but the newest ``keep`` checkpoints.
+
+    Off-policy train states embed the replay buffer (GBs); keeping every
+    eval-interval checkpoint multiplies disk by the run length and each
+    save pays a full device fetch, so periodic saves keep only a tail."""
+    import shutil
+
+    if not os.path.isdir(save_dir):
+        return
+    ckpts = sorted(
+        (d for d in os.listdir(save_dir) if d.startswith("ckpt_")),
+        key=lambda d: int(d.split("_")[1]),
+    )
+    for d in ckpts[:-keep]:
+        shutil.rmtree(os.path.join(save_dir, d), ignore_errors=True)
