@@ -10,4 +10,7 @@ scripts/r3_queue.sh dex_handover_lateral_80m python -m harl_tpu.train \
   --log_interval 60 --eval_interval 180 --eval_episodes 64 \
   --n_eval_rollout_threads 64 --ppo_epoch 5 --critic_epoch 5 \
   --entropy_coef 0.005 --use_linear_lr_decay True
+scripts/r3_queue.sh mpe_spread_hasac_n5 python -m harl_tpu.train \
+  --load_config tuned_configs/pettingzoo_mpe/simple_spread_v2-continuous/hasac/config.json \
+  --exp_name val_r3_n5 --num_env_steps 4000000 --n_step 5
 echo QUEUE10_DONE >> results/validation_r3/queue.out
