@@ -35,7 +35,11 @@ def update_args(unparsed: Dict[str, Any], *args_dicts: Dict) -> None:
 
     def update_recursive(d: Dict, k: str, v) -> bool:
         found = False
-        if k in d:
+        # only leaf values are overridable — the reference's update_dict
+        # recurses into dict-valued entries instead of replacing them
+        # (configs_tools.py:31-39), so `--seed 2` must hit seed.seed, not
+        # clobber the whole seed section
+        if k in d and not isinstance(d[k], dict):
             d[k] = v
             found = True
         for sub in d.values():
