@@ -13,4 +13,7 @@ scripts/r3_queue.sh dex_handover_lateral_80m python -m harl_tpu.train \
 scripts/r3_queue.sh mpe_spread_hasac_n5 python -m harl_tpu.train \
   --load_config tuned_configs/pettingzoo_mpe/simple_spread_v2-continuous/hasac/config.json \
   --exp_name val_r3_n5 --num_env_steps 4000000 --n_step 5
+scripts/r3_queue.sh smac_5m_vs_6m_happo_seed2 python -m harl_tpu.train \
+  --load_config tuned_configs/smaclite/5m_vs_6m/happo/config.json \
+  --exp_name val_r3_s2 --seed 2 --num_env_steps 12000000
 echo QUEUE10_DONE >> results/validation_r3/queue.out
