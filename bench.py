@@ -11,18 +11,32 @@ with per-step policy forwards and Pipe round-trips on a desktop GPU — the
 reference never publishes numbers, BASELINE.md). The driver-set target is
 1M env-steps/s on a v4-16 (8 chips), i.e. 125k/chip.
 
+Output: one JSON line per metric; the HEADLINE metric
+(happo_halfcheetah6x1_env_steps_per_s) is always printed LAST so a driver
+parsing the final JSON line keeps seeing the round-over-round series.
+Secondary guard metrics (round-3 verdict Weak #6: the headline is a
+single MLP/EP/on-policy shape) cover the other hot program shapes:
+
+  * smaclite_5m6m_recurrent_env_steps_per_s — discrete + avail-masks +
+    recurrent chunked-BPTT FP path (threshold: 40k steps/s);
+  * hasac_halfcheetah6x1_env_steps_per_s — the off-policy collect+train
+    block incl. n-step replay sampling (threshold: 50k steps/s).
+
+Each line carries "pass" against its committed threshold. A wedge in a
+secondary never loses the headline: it is computed first and the deadline
+thread emits it (with "partial": true and "blocks": N when the timing
+loop had not finished all blocks) as the final line.
+
 Wedge-proofing (round-2 postmortem: the TPU-tunnel claim service hung
 before the first output and the driver recorded rc=124 with nothing in
 the tail):
   * every phase (import, device claim, compile, each timing block) logs
     progress to stderr so a hang is diagnosable from the log tail;
-  * an internal SIGALRM deadline (default 480 s, well inside the driver's
-    timeout) fires mid-phase and prints the final JSON line from whatever
-    steady-state timing blocks completed by then;
+  * a daemon-thread deadline (default 480 s, inside the driver's timeout)
+    fires even while the main thread is blocked inside a C call and prints
+    the final JSON line from whatever completed by then;
   * timing runs in small synced blocks so a partial measurement exists
     from ~the first minute of steady state onward.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
@@ -39,9 +53,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 REFERENCE_FPS = 8000.0  # PyTorch HARL MAMuJoCo rollout throughput estimate
 DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", "480"))
 
-# Best-so-far measurement, mutated by the timing loop and read by the
-# alarm handler.  fps is None until at least one timing block completes.
-_best = {"fps": None, "blocks": 0}
+# committed floors for the secondary guard metrics (chip-measured rates with
+# ~40% headroom for run-to-run noise; VALIDATION.md r3 observed 65k smaclite
+# @256 envs in-passing — the bench shape is the tuned 5m_vs_6m FP recurrent)
+THRESHOLDS = {
+    "smaclite_5m6m_recurrent_env_steps_per_s": 40_000.0,
+    "hasac_halfcheetah6x1_env_steps_per_s": 50_000.0,
+}
+
+# Best-so-far headline measurement, mutated by the timing loop and read by
+# the deadline thread.  fps is None until at least one timing block completes.
+_best = {"fps": None, "blocks": 0, "total_blocks": 3}
 _done = False
 
 
@@ -49,14 +71,32 @@ def _log(msg):
     print(f"[bench +{time.time() - T0:.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def _emit(fps):
+def _emit(fps, partial=False):
+    """Print the headline JSON line (always the last line of the run)."""
+    rec = {
+        "metric": "happo_halfcheetah6x1_env_steps_per_s",
+        "value": round(fps, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(fps / REFERENCE_FPS, 2),
+    }
+    if partial:
+        # deadline fired before the timing loop finished: mark the record so
+        # a parser can tell a best-effort 3-iter figure from a clean 33-iter
+        # measurement (advisor finding r3)
+        rec["partial"] = True
+        rec["blocks"] = f"{_best['blocks']}/{_best['total_blocks']}"
+    print(json.dumps(rec), flush=True)
+
+
+def _emit_secondary(metric, fps):
     print(
         json.dumps(
             {
-                "metric": "happo_halfcheetah6x1_env_steps_per_s",
+                "metric": metric,
                 "value": round(fps, 1),
                 "unit": "env-steps/s",
-                "vs_baseline": round(fps / REFERENCE_FPS, 2),
+                "threshold": THRESHOLDS[metric],
+                "pass": fps >= THRESHOLDS[metric],
             }
         ),
         flush=True,
@@ -70,12 +110,14 @@ def _deadline():
     if _done:
         return
     if _best["fps"] is not None:
+        partial = _best["blocks"] < _best["total_blocks"]
         _log(
-            f"DEADLINE {DEADLINE_S}s hit — emitting best-effort result from "
-            f"{_best['blocks']} completed timing block(s)"
+            f"DEADLINE {DEADLINE_S}s hit — emitting "
+            f"{'best-effort partial' if partial else 'completed headline'} "
+            f"result from {_best['blocks']} timing block(s)"
         )
-        _emit(_best["fps"])
-        os._exit(0)
+        _emit(_best["fps"], partial=partial)
+        os._exit(0 if not partial else 4)
     _log(
         f"DEADLINE {DEADLINE_S}s hit with NO completed timing block — the run "
         "wedged before steady state (device claim or compile hang); see the "
@@ -90,14 +132,7 @@ _timer.daemon = True
 _timer.start()
 
 
-def main():
-    global _done
-    _log("importing jax...")
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-
+def _measure_headline(jax):
     from harl_tpu.runners.on_policy import OnPolicyRunner
     from harl_tpu.utils.config_tools import get_defaults_yaml_args
 
@@ -114,10 +149,6 @@ def main():
     algo_args["model"].update(hidden_sizes=[64, 64])
     env_args.update(scenario="HalfCheetah-v2", agent_conf="6x1", episode_limit=1000)
 
-    _log("claiming device...")
-    dev = jax.devices()[0]
-    _log(f"device claimed: {dev}")
-
     runner = OnPolicyRunner(
         {"algo": "happo", "env": "mamujoco_jax", "exp_name": "bench"},
         algo_args,
@@ -128,14 +159,14 @@ def main():
     # warmup: first compile + layout-change recompile both happen in the first
     # two calls; a value FETCH (not block_until_ready, which does not reliably
     # block on the remote-TPU platform) forces completion
-    _log("warmup/compile (3 iterations)...")
+    _log("headline warmup/compile (3 iterations)...")
     for i in range(3):
         state, metrics = runner._train_iteration(state)
         float(metrics["value_loss"])
         _log(f"warmup iteration {i + 1}/3 done")
 
     # steady state: a small first block gives an early partial measurement
-    # (what the alarm handler emits on a wedge); the later large blocks keep
+    # (what the deadline thread emits on a wedge); the later large blocks keep
     # the dispatch pipeline full across 15 iterations before syncing, so the
     # per-sync drain does not tax the steady-state figure. The reported rate
     # is over the large blocks once any completed.
@@ -156,14 +187,116 @@ def main():
         _best["fps"] = total_steps / total_dt
         _best["blocks"] = b + 1
         _log(
-            f"block {b + 1}/{len(blocks)} ({block} iters): "
+            f"headline block {b + 1}/{len(blocks)} ({block} iters): "
             f"{block * steps_per_iter / dt:,.0f} steps/s "
             f"(reported {_best['fps']:,.0f})"
         )
+    return _best["fps"]
+
+
+def _measure_smaclite(jax):
+    """Discrete + availability masks + recurrent chunked-BPTT FP shape."""
+    from harl_tpu.runners.on_policy import OnPolicyRunner
+    from harl_tpu.utils.config_tools import get_defaults_yaml_args
+
+    n_threads, episode_length = 256, 70
+    algo_args, env_args = get_defaults_yaml_args("happo", "smaclite")
+    algo_args["train"].update(
+        n_rollout_threads=n_threads,
+        episode_length=episode_length,
+        num_env_steps=10**9,
+    )
+    algo_args["model"].update(
+        hidden_sizes=[64, 64, 64], use_recurrent_policy=True, recurrent_n=1,
+        data_chunk_length=10,
+    )
+    env_args.update(map_name="5m_vs_6m", state_type="FP")
+    runner = OnPolicyRunner(
+        {"algo": "happo", "env": "smaclite", "exp_name": "bench"},
+        algo_args,
+        env_args,
+    )
+    state = runner.init_state(0)
+    _log("smaclite warmup/compile (2 iterations)...")
+    for _ in range(2):
+        state, metrics = runner._train_iteration(state)
+        float(metrics["value_loss"])
+    iters = 8
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = runner._train_iteration(state)
+    float(metrics["value_loss"])
+    fps = iters * episode_length * n_threads / (time.time() - t0)
+    _log(f"smaclite recurrent: {fps:,.0f} steps/s")
+    return fps
+
+
+def _measure_hasac(jax):
+    """Off-policy collect + train blocks incl. n-step replay sampling."""
+    from harl_tpu.runners.off_policy import OffPolicyRunner
+    from harl_tpu.utils.config_tools import get_defaults_yaml_args
+
+    algo_args, env_args = get_defaults_yaml_args("hasac", "mamujoco_jax")
+    algo_args["train"].update(
+        n_rollout_threads=256,
+        num_env_steps=10**9,
+        warmup_steps=256 * 4,
+        train_interval=50,
+        update_per_train=1,
+    )
+    algo_args["algo"].update(n_step=5, batch_size=1000, buffer_size=200_000)
+    algo_args["model"].update(hidden_sizes=[256, 256])
+    env_args.update(scenario="HalfCheetah-v2", agent_conf="6x1", episode_limit=1000)
+    runner = OffPolicyRunner(
+        {"algo": "hasac", "env": "mamujoco_jax", "exp_name": "bench"},
+        algo_args,
+        env_args,
+    )
+    state = runner.init_state(0)
+    _log("hasac warmup/compile...")
+    state = runner.warmup_block(state)
+    state, _ = runner.collect_block(state)
+    state, m = runner.train_block(state)
+    float(m["critic_loss"])
+    iters = 6
+    steps_per_iter = runner.train_interval * 256
+    t0 = time.time()
+    for _ in range(iters):
+        state, _ = runner.collect_block(state)
+        state, m = runner.train_block(state)
+    float(m["critic_loss"])
+    fps = iters * steps_per_iter / (time.time() - t0)
+    _log(f"hasac collect+train: {fps:,.0f} steps/s")
+    return fps
+
+
+def main():
+    global _done
+    _log("importing jax...")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    _log("claiming device...")
+    dev = jax.devices()[0]
+    _log(f"device claimed: {dev}")
+
+    headline = _measure_headline(jax)
+
+    # secondary guard metrics — failures/wedges here never cost the headline
+    for name, fn in (
+        ("smaclite_5m6m_recurrent_env_steps_per_s", _measure_smaclite),
+        ("hasac_halfcheetah6x1_env_steps_per_s", _measure_hasac),
+    ):
+        try:
+            _emit_secondary(name, fn(jax))
+        except Exception as e:  # pragma: no cover - defensive
+            _log(f"secondary bench {name} FAILED: {type(e).__name__}: {e}")
 
     _done = True
     _timer.cancel()
-    _emit(_best["fps"])
+    _emit(headline)
 
 
 if __name__ == "__main__":

@@ -137,14 +137,20 @@ def sample(
     n_step: int,
     gamma: float,
     n_threads: int,
+    start: Optional[jnp.ndarray] = None,
 ) -> Sample:
-    """Uniform sample of start indices + n-step walk (buffer_ep.py:40-148)."""
+    """Uniform sample of start indices + n-step walk (buffer_ep.py:40-148).
+
+    ``start`` overrides the random index draw (golden-parity tests inject
+    deterministic starts to compare element-wise against a NumPy oracle).
+    """
     S = buf.share_obs.shape[0]
     cur = jnp.maximum(buf.cur_size, 1)
     end_flag = _end_flag(buf, n_threads).astype(jnp.int32)
-    # randint over cur_size (reference uses randperm[:batch]; uniform-with-
-    # replacement is equivalent in distribution for large buffers)
-    start = jax.random.randint(key, (batch_size,), 0, cur)
+    if start is None:
+        # randint over cur_size (reference uses randperm[:batch]; uniform-
+        # with-replacement is equivalent in distribution for large buffers)
+        start = jax.random.randint(key, (batch_size,), 0, cur)
 
     def walk(idx, _):
         nxt = (idx + (1 - end_flag[idx]) * n_threads) % S
@@ -220,10 +226,12 @@ def sample_fp(
     n_step: int,
     gamma: float,
     n_threads: int,
+    start: Optional[jnp.ndarray] = None,
 ) -> Sample:
     """FP sampling: per-agent end flags drive per-agent n-step walks
     (off_policy_buffer_fp.py:52-148). Env-level outputs are (N·batch, ·)
-    agent-major concatenations."""
+    agent-major concatenations. ``start`` injects deterministic indices
+    (golden-parity tests)."""
     S, N = buf.dones.shape[0], buf.dones.shape[1]
     cur = jnp.maximum(buf.cur_size, 1)
     # per-agent end flags + unfinished heads (off_policy_buffer_fp.py:157-165)
@@ -231,7 +239,8 @@ def sample_fp(
     unfinished = (buf.idx - jnp.arange(n_threads) - 1 + cur) % cur
     end_flag = flag.at[unfinished, :].set(True).astype(jnp.int32)
 
-    start = jax.random.randint(key, (batch_size,), 0, cur)
+    if start is None:
+        start = jax.random.randint(key, (batch_size,), 0, cur)
 
     def agent_walk(agent_end_flag):
         def walk(idx, _):

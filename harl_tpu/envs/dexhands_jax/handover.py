@@ -330,9 +330,16 @@ class ShadowHandOver:
         starts = hp[sh] + jnp.stack(
             [jnp.zeros(self.n_objects), fw[sh] * 0.045,
              up[sh] * (OBJ_RADIUS + 0.002)], axis=1)
+        # Reference goal semantics (shadow_hand_over.py reset_target_pose and
+        # every catch-family task): the goal is the object's INITIAL pose
+        # translated laterally into the receiver's region — i.e. the goal
+        # height equals the ball's natural RESTING height on a palm
+        # (goal_states = goal_init_state; y -= 0.25). The earlier +0.06 goal
+        # sat 2.5 cm above resting height, eating 83% of the 3 cm success
+        # tolerance and demanding a precision hold — the r3 0.42 ceiling.
         goals = hp[gh] + jnp.stack(
-            [jnp.zeros(self.n_objects), fw[gh] * 0.045, up[gh] * 0.06],
-            axis=1)
+            [jnp.zeros(self.n_objects), fw[gh] * 0.045,
+             up[gh] * (OBJ_RADIUS + 0.002)], axis=1)
         noise = float(c.get("goal_noise", 0.01))
         obj_pos = starts + 0.01 * jax.random.normal(k1, (self.n_objects, 3))
         goal_pos = goals + noise * jax.random.normal(k2, (self.n_objects, 3))

@@ -426,22 +426,23 @@ class SMACLite:
             # start_positions surrounded_and_reflect: with prob p the allies
             # spawn clustered at the map center with enemies on a ring
             # around them; otherwise reflected random spawns
-            ks, kr1, kr2, kang = jax.random.split(k1, 4)
+            ks, kr1, kr2, kr3, kr4, kang = jax.random.split(k1, 6)
             surround = jax.random.uniform(ks) < self.surround_p
-            # --- reflect branch
+            # --- reflect branch (independent keys per uniform draw: enemy
+            # y, enemy x-jitter, and the surround radius must not correlate)
             ally_refl = jax.random.uniform(
                 kr1, (A, 2), minval=jnp.array([-ARENA * 0.8, -ARENA * 0.5]),
                 maxval=jnp.array([-2.0, ARENA * 0.5]))
             ey = jax.random.uniform(kr2, (E,), minval=-ARENA * 0.5,
                                     maxval=ARENA * 0.5)
             ex = -ally_refl[:, 0].mean() + jax.random.uniform(
-                kr2, (E,), minval=-2.0, maxval=2.0)
+                kr3, (E,), minval=-2.0, maxval=2.0)
             enemy_refl = jnp.stack([ex, ey], axis=1)
             # --- surrounded branch
             ally_sur = 2.0 * jax.random.normal(kr1, (A, 2))
             ang = jax.random.uniform(kang, (E,), minval=0.0,
                                      maxval=2.0 * jnp.pi)
-            radius = jax.random.uniform(kr2, (E,), minval=8.0, maxval=11.0)
+            radius = jax.random.uniform(kr4, (E,), minval=8.0, maxval=11.0)
             enemy_sur = jnp.stack(
                 [radius * jnp.cos(ang), radius * jnp.sin(ang)], axis=1)
             ally_pos = jnp.where(surround, ally_sur, ally_refl)

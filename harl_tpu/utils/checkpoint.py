@@ -48,6 +48,9 @@ def prune_checkpoints(save_dir: str, keep: int = 2) -> None:
 
     if not os.path.isdir(save_dir):
         return
+    # keep <= 0 would make ckpts[:-keep] the EMPTY slice (delete nothing) —
+    # the opposite of the natural reading; clamp to "keep the newest one"
+    keep = max(keep, 1)
     ckpts = sorted(
         (d for d in os.listdir(save_dir) if d.startswith("ckpt_")),
         key=lambda d: int(d.split("_")[1]),
