@@ -72,11 +72,20 @@ OBJ_INERTIA = 0.4 * OBJ_MASS * OBJ_RADIUS ** 2   # solid sphere
 GRAVITY = 9.81
 PALM_HALF = 0.07                           # palm half-extent (square pad)
 CONTACT_K = 1500.0
-CONTACT_D = 8.0
+# APPROACH-ONLY contact damping (impact model): the damping term
+# D·max(−vn,0) absorbs incoming kinetic energy during compression (low
+# restitution, matching PhysX's zero-restitution defaults — the r4 policy
+# probe showed 84% of tosses REACH the receiver but 62% bounced off and
+# dropped at the old symmetric D=8) while NEVER weakening the spring force
+# during separation, so the throwing flick keeps its full release impulse
+# (symmetric D=16 damping killed throw discovery: return flatlined at ~2.5
+# over 50M steps). Explicit Euler stability bounds D ≲ 0.5·m/dt → the
+# halved substep below (stable limit 19.2 at 1/480).
+CONTACT_D = 16.0
 FRICTION_MU = 1.2
 FRICTION_VREG = 0.05
-DT = 1.0 / 240.0
-SUBSTEPS = 4                               # control at 60 Hz
+DT = 1.0 / 480.0
+SUBSTEPS = 8                               # control at 60 Hz
 
 SUCCESS_DIST = 0.05
 
@@ -475,7 +484,7 @@ class ShadowHandOver:
             jnp.broadcast_to(obj_omg, tips.shape), rc)
         v_rel = v_obj - tips_v
         vn = jnp.sum(v_rel * n, axis=1)
-        N = jnp.maximum(CONTACT_K * pen - CONTACT_D * vn * (pen > 0), 0.0)
+        N = CONTACT_K * pen + CONTACT_D * jnp.maximum(-vn, 0.0) * (pen > 0)
         vt = v_rel - vn[:, None] * n
         vt_mag = jnp.linalg.norm(vt, axis=1) + FRICTION_VREG
         ft = -FRICTION_MU * N[:, None] * vt / vt_mag[:, None]
@@ -494,7 +503,7 @@ class ShadowHandOver:
         rc = -OBJ_RADIUS * n
         v_c = obj_vel + jnp.cross(obj_omg, rc)
         vn = jnp.sum(v_c * n)
-        N = jnp.maximum(CONTACT_K * pen - CONTACT_D * vn * (pen > 0), 0.0)
+        N = CONTACT_K * pen + CONTACT_D * jnp.maximum(-vn, 0.0) * (pen > 0)
         vt = v_c - vn * n
         ft = -FRICTION_MU * N * vt / (jnp.linalg.norm(vt) + FRICTION_VREG)
         f = N * n + ft
@@ -512,7 +521,7 @@ class ShadowHandOver:
         n = d / dist
         pen = jnp.maximum(2 * OBJ_RADIUS - dist, 0.0)
         vn = jnp.sum((v0 - v1) * n)
-        N = jnp.maximum(CONTACT_K * pen - CONTACT_D * vn * (pen > 0), 0.0)
+        N = CONTACT_K * pen + CONTACT_D * jnp.maximum(-vn, 0.0) * (pen > 0)
         return N * n
 
     # ---------------------------------------------------------- observation

@@ -16,6 +16,8 @@ action_space and seed(int).
 """
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional
 
 import numpy as np
@@ -36,14 +38,27 @@ class HostVecEnv:
         for i, env in enumerate(self.envs):
             if hasattr(env, "seed"):
                 env.seed(seed + i * 1000)  # per-rank seeds (envs_tools.py:99)
+        # Per-env step/reset run on a thread pool so external engines
+        # (gfootball C++, JSBSim, SC2 RPC) overlap instead of serializing —
+        # the threaded analogue of the reference's subprocess workers
+        # (env_wrappers.py:220-295). Each env is touched by exactly one task
+        # per call, so no cross-env state is shared. Pool size is capped: the
+        # wall-clock win comes from overlapping engine/GIL-released work, not
+        # from oversubscribing the host cores.
+        self._pool = (
+            ThreadPoolExecutor(max_workers=min(self.n_envs, (os.cpu_count() or 2) * 4))
+            if self.n_envs > 1
+            else None
+        )
+
+    def _map(self, fn, *iterables):
+        if self._pool is None:
+            return [fn(*args) for args in zip(*iterables)]
+        return list(self._pool.map(fn, *iterables))
 
     def reset(self):
-        obs, share, avail = [], [], []
-        for env in self.envs:
-            o, s, a = env.reset()
-            obs.append(o)
-            share.append(s)
-            avail.append(a)
+        results = self._map(lambda env: env.reset(), self.envs)
+        obs, share, avail = map(list, zip(*results))
         return (
             np.stack(obs),
             np.stack(share),
@@ -53,23 +68,21 @@ class HostVecEnv:
     def step(self, actions: np.ndarray):
         """actions: (n_envs, n_agents, act_dim). Returns stacked arrays with
         auto-reset applied; ``final_obs``/``final_share`` hold pre-reset
-        terminal observations where done."""
-        obs, share, rews, dones, infos, avails = [], [], [], [], [], []
-        final_obs, final_share = [], []
-        for env, act in zip(self.envs, actions):
+        terminal observations where done. Envs step concurrently on the
+        thread pool (shareworker auto-reset semantics preserved per env)."""
+
+        def step_one(env, act):
             o, s, r, d, info, av = env.step(act)
             f_o, f_s = o, s
             if np.all(d):
                 o2, s2, av = env.reset()
                 o, s = o2, s2
-            obs.append(o)
-            share.append(s)
-            rews.append(r)
-            dones.append(d)
-            infos.append(info)
-            avails.append(av)
-            final_obs.append(f_o)
-            final_share.append(f_s)
+            return o, s, r, d, info, av, f_o, f_s
+
+        results = self._map(step_one, self.envs, list(actions))
+        obs, share, rews, dones, infos, avails, final_obs, final_share = map(
+            list, zip(*results)
+        )
         return dict(
             obs=np.stack(obs).astype(np.float32),
             share_obs=np.stack(share).astype(np.float32),
@@ -85,3 +98,5 @@ class HostVecEnv:
         for env in self.envs:
             if hasattr(env, "close"):
                 env.close()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)

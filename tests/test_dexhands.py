@@ -180,8 +180,15 @@ def test_handover_scripted_toss_delivers():
     for seed in range(8):
         state, ts = env.reset(jax.random.PRNGKey(seed))
         for t in range(75):
-            r = min(1.0, t / 6.0)
-            a0 = np.tile(np.array([0.0, 0.85 * r, 0.5 * r, 0.2 * r]), 5)
+            # two-phase throw: slow pre-curl cradle, then full-flexion snap
+            # (schedule re-tuned for the approach-only-damped contacts)
+            if t < 4:
+                r = t / 4.0
+                a0 = np.tile(np.array([0.0, 0.4 * r, 0.3 * r, 0.1 * r]), 5)
+            else:
+                r = min(1.0, (t - 4) / 3.0)
+                a0 = np.tile(np.array(
+                    [0.0, 0.4 + 0.6 * r, 0.3 + 0.4 * r, 0.1 + 0.2 * r]), 5)
             a1 = np.tile(np.array([0.0, 0.5, 0.3, 0.1]), 5)
             state, ts = step(
                 state, jnp.asarray(np.stack([a0, a1])), jax.random.PRNGKey(t))
@@ -192,6 +199,40 @@ def test_handover_scripted_toss_delivers():
             if bool(ts.dones.all()):
                 break
     assert delivered and best < 0.07
+
+
+def test_receiver_cradle_catches_incoming_ball():
+    """Catch solvability anchor for the inelastic-contact model: a ball
+    arriving ballistically at the receiver must SETTLE in a held cradle
+    (not bounce off and drop) in most trials. The r4 policy probe showed
+    84% of tosses reached the receiver but 62% bounced off at the old
+    restitution ~0.29; near-critical damping (PhysX contacts have zero
+    restitution) makes the catch physically learnable."""
+    env = make_handover({"task": "ShadowHandOver"})
+    step = jax.jit(env.step)
+    settled = 0
+    trials = 8
+    for seed in range(trials):
+        state, ts = env.reset(jax.random.PRNGKey(seed))
+        k = jax.random.PRNGKey(100 + seed)
+        # launch the ball on a toss arc that lands mid-palm
+        vel = jnp.asarray([[0.0, -0.9, 0.3]]) + 0.05 * jax.random.normal(k, (1, 3))
+        state = state._replace(
+            obj_pos=jnp.asarray([[0.0, -0.10, 0.08]]),
+            obj_vel=vel,
+        )
+        cradle = np.tile(np.array([0.0, 0.5, 0.3, 0.1]), 5)
+        acts = jnp.asarray(np.stack([np.zeros(20), cradle]))
+        for t in range(40):
+            state, ts = step(state, acts, jax.random.PRNGKey(t))
+            if bool(ts.dones.all()):
+                break
+        # settled = still above the drop plane and inside the receiver region
+        ok = (float(state.obj_pos[0, 2]) > -0.05
+              and abs(float(state.obj_pos[0, 0])) < 0.15
+              and -0.45 < float(state.obj_pos[0, 1]) < -0.12)
+        settled += int(ok)
+    assert settled >= trials // 2, f"only {settled}/{trials} catches settled"
 
 
 def test_handover_reward_is_proximity_income():

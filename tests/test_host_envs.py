@@ -88,3 +88,47 @@ def test_hatd3_trains_on_mamujoco_host():
     assert runner.host_mode
     state, history = runner.run(seed=1)
     assert np.isfinite(history[-1]["critic_loss"])
+
+
+def test_host_vec_env_steps_concurrently():
+    """N-env host step wall-clock ~= one env's, not N of them (the reference
+    parallelizes every host env via subprocess workers, env_wrappers.py:
+    220-295; HostVecEnv uses a thread pool). A sleep-env makes the latency
+    difference unambiguous: 8 envs x 30ms serial would be ~240ms/step."""
+    import time
+    from harl_tpu.envs.host import HostVecEnv
+    from harl_tpu.utils import spaces as _sp
+    import gymnasium
+
+    class SleepEnv:
+        n_agents = 2
+        observation_space = [gymnasium.spaces.Box(-1, 1, (3,))] * 2
+        share_observation_space = [gymnasium.spaces.Box(-1, 1, (6,))] * 2
+        action_space = [gymnasium.spaces.Box(-1, 1, (2,))] * 2
+
+        def seed(self, s):
+            pass
+
+        def reset(self):
+            return np.zeros((2, 3), np.float32), np.zeros((2, 6), np.float32), None
+
+        def step(self, actions):
+            time.sleep(0.03)  # emulate an external engine call
+            return (np.zeros((2, 3), np.float32), np.zeros((2, 6), np.float32),
+                    np.zeros((2, 1), np.float32), np.zeros((2,), bool),
+                    [{} for _ in range(2)], None)
+
+    n = 8
+    vec = HostVecEnv([SleepEnv for _ in range(n)])
+    vec.reset()
+    acts = np.zeros((n, 2, 2), np.float32)
+    vec.step(acts)  # warm the pool
+    t0 = time.time()
+    for _ in range(3):
+        out = vec.step(acts)
+    dt = (time.time() - t0) / 3
+    assert out["obs"].shape == (n, 2, 3)
+    # serial would be ~0.24s; concurrent should be close to a single env's
+    # 30ms (allow generous slack for pool scheduling on a busy CI host)
+    assert dt < 0.12, f"host vec step took {dt:.3f}s for {n} envs - serialized?"
+    vec.close()
