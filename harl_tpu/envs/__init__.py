@@ -23,6 +23,27 @@ def make_env(env_name: str, env_args: dict):
             **kwargs,
         )
     if env_name in ("smaclite", "smac", "smacv2"):
+        # smac/smacv2 prefer the REAL StarCraft II binary when its package
+        # is installed (backend auto|native, mirroring the mamujoco native
+        # engine routing); otherwise the pure-JAX SMACLite analogue runs the
+        # same maps. backend=jax forces the analogue.
+        backend = env_args.get("backend", "auto")
+        if env_name == "smac" and backend in ("auto", "native"):
+            try:
+                from harl_tpu.envs.smac.smac_env import make_smac
+
+                return make_smac(env_args)
+            except ImportError:
+                if backend == "native":
+                    raise
+        if env_name == "smacv2" and backend in ("auto", "native"):
+            try:
+                from harl_tpu.envs.smacv2.smacv2_env import make_smacv2
+
+                return make_smacv2(env_args)
+            except ImportError:
+                if backend == "native":
+                    raise
         from harl_tpu.envs.smaclite.smaclite import make_smaclite
 
         kwargs = {}
@@ -93,6 +114,16 @@ def make_env(env_name: str, env_args: dict):
 
         return LAGEnv(env_args)
     if env_name in ("dexhands", "dexhands_jax"):
+        if env_name == "dexhands" and env_args.get("backend", "auto") in (
+                "auto", "native"):
+            # real IsaacGym bidexhands when available (CUDA-only)
+            try:
+                from harl_tpu.envs.dexhands.dexhands_env import make_dexhands
+
+                return make_dexhands(env_args)
+            except ImportError:
+                if env_args.get("backend") == "native":
+                    raise
         from harl_tpu.envs.dexhands_jax.manip import MANIP_TASKS
 
         if env_args.get("task", "ShadowHandOver") in MANIP_TASKS:

@@ -64,6 +64,8 @@ JOINT_VMAX = 12.0                          # rad/s
 # through a lift without it slipping between fingers (the IsaacGym hands
 # have full finger capsules; tips-only contact needs the fatter pads)
 TIP_RADIUS = 0.016
+# proximal/middle/tip pad radii — every phalanx endpoint is a contact pad
+PAD_RADII = jnp.array([0.013, 0.014, TIP_RADIUS])
 
 # object / world ------------------------------------------------------------
 OBJ_RADIUS = 0.035
@@ -113,9 +115,16 @@ def _finger_base(n_fingers: int):
     return x, y
 
 
-def _fingertips(theta: jnp.ndarray, base_pos, fwd: float, up: float
-                ) -> jnp.ndarray:
-    """(F, 3) world fingertip positions for one hand (F = len(theta)//4).
+def _finger_points(theta: jnp.ndarray, base_pos, fwd: float, up: float
+                   ) -> jnp.ndarray:
+    """(F, 3, 3) world positions of every phalanx ENDPOINT for one hand
+    (F = len(theta)//4; [:, -1] are the fingertips).
+
+    All three per-finger joints carry contact pads (not just the tips), so
+    curled fingers form a real barrier/cup the way the IsaacGym hands' full
+    finger capsules do — with tips-only contact a fast toss sails between
+    or over the fingers (r4 probe: 96% of tosses reached the receiver but
+    59% still dropped; failures overshot the fingertip backstop).
 
     ``fwd`` = finger extension direction along y (+1/-1); ``up`` = palm
     normal / curl direction along z (+1 palm-up, -1 palm-down).
@@ -130,15 +139,27 @@ def _fingertips(theta: jnp.ndarray, base_pos, fwd: float, up: float
     base = base + jnp.asarray(base_pos)
     # in-palm-plane finger direction rotated by abduction about palm normal
     ca, sa = jnp.cos(abduct), jnp.sin(abduct)
-    dir_xy = jnp.stack([sa, fwd * ca], axis=1)             # (5, 2)
+    dir_xy = jnp.stack([sa, fwd * ca], axis=1)             # (F, 2)
     # each segment: in-plane component shrinks with curl, normal grows
-    seg_inplane = jnp.cos(flex) * SEG_LEN[None, :]          # (5, 3)
+    seg_inplane = jnp.cos(flex) * SEG_LEN[None, :]          # (F, 3)
     seg_normal = jnp.sin(flex) * SEG_LEN[None, :]
-    reach = jnp.sum(seg_inplane, axis=1)                    # (5,)
-    lift = up * jnp.sum(seg_normal, axis=1)                 # curl toward object
-    tips = base + jnp.concatenate(
-        [dir_xy * reach[:, None], lift[:, None]], axis=1)
-    return tips
+    cum_in = jnp.cumsum(seg_inplane, axis=1)                # (F, 3)
+    cum_up = up * jnp.cumsum(seg_normal, axis=1)            # (F, 3)
+    xy = base[:, None, :2] + dir_xy[:, None, :] * cum_in[:, :, None]
+    z = base[:, None, 2] + cum_up
+    return jnp.concatenate([xy, z[..., None]], axis=-1)     # (F, 3, 3)
+
+
+def _fingertips(theta: jnp.ndarray, base_pos, fwd: float, up: float
+                ) -> jnp.ndarray:
+    """(F, 3) world fingertip positions (last phalanx endpoints)."""
+    return _finger_points(theta, base_pos, fwd, up)[:, -1, :]
+
+
+def _hand_contact_points(theta: jnp.ndarray, base_pos, fwd: float, up: float
+                         ) -> jnp.ndarray:
+    """(3F, 3) flattened per-phalanx contact-pad centers for one hand."""
+    return _finger_points(theta, base_pos, fwd, up).reshape(-1, 3)
 
 
 def _quat_mul(a, b):
@@ -444,11 +465,11 @@ class ShadowHandOver:
         torque = jnp.zeros((self.n_objects, 3))
         for h in range(2):
             pos, fwd, up = hp[h], fw[h], upv[h]
-            tips, tips_v = jax.jvp(
-                lambda th: _fingertips(th, pos, fwd, up), (new_theta[h],),
-                ((new_theta[h] - theta[h]) / DT,))
+            pads, pads_v = jax.jvp(
+                lambda th: _hand_contact_points(th, pos, fwd, up),
+                (new_theta[h],), ((new_theta[h] - theta[h]) / DT,))
             f, tq = jax.vmap(
-                lambda p, v, w: self._tip_contacts(tips, tips_v, p, v, w)
+                lambda p, v, w: self._tip_contacts(pads, pads_v, p, v, w)
             )(obj_pos, obj_vel, obj_omg)
             force = force + f
             torque = torque + tq
@@ -474,10 +495,13 @@ class ShadowHandOver:
         return new_theta, new_pos, new_quat, new_vel, new_omg
 
     def _tip_contacts(self, tips, tips_v, obj_pos, obj_vel, obj_omg):
-        d = obj_pos[None, :] - tips                       # (5, 3)
+        """Contacts between the object and all phalanx pads (3F, 3)."""
+        F = tips.shape[0] // 3
+        radii = jnp.tile(PAD_RADII, (F,))                 # (3F,)
+        d = obj_pos[None, :] - tips                       # (3F, 3)
         dist = jnp.linalg.norm(d, axis=1) + 1e-8
         n = d / dist[:, None]
-        pen = jnp.maximum(OBJ_RADIUS + TIP_RADIUS - dist, 0.0)
+        pen = jnp.maximum(OBJ_RADIUS + radii - dist, 0.0)
         # contact point on object surface; relative velocity there
         rc = -OBJ_RADIUS * n                              # from object center
         v_obj = obj_vel[None, :] + jnp.cross(

@@ -132,3 +132,41 @@ def test_host_vec_env_steps_concurrently():
     # 30ms (allow generous slack for pool scheduling on a busy CI host)
     assert dt < 0.12, f"host vec step took {dt:.3f}s for {n} envs - serialized?"
     vec.close()
+
+
+def test_real_binary_adapters_route_and_fail_informatively():
+    """SMAC/SMACv2/dexhands real-binary adapter shells: backend=native raises
+    an informative ImportError when the SC2/IsaacGym stack is absent (this
+    image), and backend=auto falls back to the pure-JAX analogues."""
+    import pytest
+    from harl_tpu.envs import make_env
+
+    with pytest.raises(ImportError, match="StarCraft II"):
+        make_env("smac", {"map_name": "3m", "backend": "native"})
+    with pytest.raises(ImportError, match="StarCraft II"):
+        make_env("smacv2", {"map_name": "protoss_5_vs_5", "backend": "native"})
+    with pytest.raises(ImportError, match="IsaacGym"):
+        make_env("dexhands", {"task": "ShadowHandOver", "n_threads": 2,
+                              "backend": "native"})
+    # auto falls back to the JAX analogues
+    env = make_env("smac", {"map_name": "3m"})
+    assert env.n_agents == 3 and getattr(env, "is_jax", True) is not False
+    env2 = make_env("smacv2", {"map_name": "protoss_5_vs_5"})
+    assert env2.n_agents == 5
+    env3 = make_env("dexhands", {"task": "ShadowHandOver"})
+    assert env3.n_agents == 2
+
+
+def test_smacv2_map_config_loader():
+    """The real-binary SMACv2 adapter reads the ingested reference map-config
+    yamls (all 15 present and well-formed)."""
+    import glob, os
+    from harl_tpu.envs.smacv2.smacv2_env import load_map_config, _MAP_CONFIG_DIR
+
+    maps = sorted(
+        os.path.basename(p)[:-5]
+        for p in glob.glob(os.path.join(os.path.abspath(_MAP_CONFIG_DIR), "*.yaml"))
+    )
+    assert len(maps) == 15
+    cfg = load_map_config(maps[0])
+    assert "capability_config" in cfg or len(cfg) > 0
