@@ -326,6 +326,12 @@ class HumanoidMAMuJoCo:
         (i,) for i in range(17))
     episode_limit: int = 1000
     standup: bool = False
+    # Per-observation standardization warps the state manifold step-by-step
+    # (the normalizer depends on the current obs itself); balance around an
+    # unstable equilibrium may need the raw coordinates + the model's own
+    # learnable input LayerNorm instead. env_args["obs_standardize"]=False
+    # switches to fixed physical scaling (qd/10).
+    obs_standardize: bool = True
 
     @property
     def n_agents(self) -> int:
@@ -416,9 +422,15 @@ class HumanoidMAMuJoCo:
         ids = jnp.eye(N)
         obs = jnp.concatenate(
             [jnp.broadcast_to(sv[None], (N, sv.shape[0])), ids], axis=-1)
-        mean = jnp.mean(obs, axis=-1, keepdims=True)
-        std = jnp.std(obs, axis=-1, keepdims=True) + 1e-8
-        obs = (obs - mean) / std
+        if self.obs_standardize:
+            mean = jnp.mean(obs, axis=-1, keepdims=True)
+            std = jnp.std(obs, axis=-1, keepdims=True) + 1e-8
+            obs = (obs - mean) / std
+        else:
+            # fixed physical scaling: positions/angles O(1), velocities /10
+            scale = jnp.concatenate(
+                [jnp.ones(DOF - 2), jnp.full(DOF, 0.1), jnp.ones(N)])
+            obs = obs * scale
         return TimeStep(
             obs=obs,
             share_obs=sv,
@@ -436,4 +448,5 @@ def make_humanoid(env_args: dict) -> HumanoidMAMuJoCo:
         agent_joints=tuple(tuple(g) for g in _parse_conf(conf)),
         episode_limit=env_args.get("episode_limit", 1000),
         standup=scenario.startswith("HumanoidStandup"),
+        obs_standardize=env_args.get("obs_standardize", True),
     )
