@@ -59,7 +59,13 @@ FINGER_BASE_Y = np.array([0.05, 0.055, 0.06, 0.055, 0.05])  # palm edge
 ABDUCT_RANGE = 0.35                        # rad
 FLEX_LO, FLEX_HI = -0.2, 1.7               # rad per flexion joint
 SERVO_GAIN = 20.0                          # 1/s toward target
-JOINT_VMAX = 12.0                          # rad/s
+# Joint speed cap sets the throw range: tip speed ~ VMAX·reach(0.18 m).
+# At 12 rad/s the max exit velocity (~2.2 m/s) could not cross
+# CatchUnderarm's 0.45 m gap (scripted full-power toss peaked at y −0.33
+# vs goal −0.52 — physically unsolvable); 18 rad/s gives ~3.2 m/s, range
+# ~1 m, making the whole catch family reachable. The IsaacGym originals
+# get their throw range from wrist/arm DOFs this 20-DoF hand model lacks.
+JOINT_VMAX = 18.0                          # rad/s
 # fingertip contact radius: sized so a 5-tip cradle can carry the ball
 # through a lift without it slipping between fingers (the IsaacGym hands
 # have full finger capsules; tips-only contact needs the fatter pads)

@@ -282,3 +282,33 @@ def test_allegro_hand_has_16_dof():
     env = make_handover({"task": "AllegroHandOver"})
     assert env.n_fingers == 4 and env.n_joints == 16
     assert env.action_space[0].shape[0] == 16
+
+
+def test_catch_underarm_toss_range_reaches_goal():
+    """Range solvability anchor: CatchUnderarm's 0.45 m gap must be within
+    the thrower's ballistic reach (at JOINT_VMAX=12 the max scripted toss
+    peaked at y −0.33 vs goal y −0.52 — the task was physically unsolvable;
+    the IsaacGym originals throw with wrist/arm DOFs this hand lacks, so the
+    finger speed cap carries the range)."""
+    env = make_handover({"task": "ShadowHandCatchUnderarm"})
+    step = jax.jit(env.step)
+    y_min = 1.0
+    for seed in range(4):
+        state, ts = env.reset(jax.random.PRNGKey(seed))
+        goal_y = float(state.goal_pos[0, 1])
+        for t in range(75):
+            if t < 4:
+                r = t / 4.0
+                a0 = np.tile(np.array([0.0, 0.4 * r, 0.3 * r, 0.1 * r]), 5)
+            else:
+                r = min(1.0, (t - 4) / 3.0)
+                a0 = np.tile(np.array(
+                    [0.0, 0.4 + 0.6 * r, 0.3 + 0.4 * r, 0.1 + 0.2 * r]), 5)
+            a1 = np.tile(np.array([0.0, 0.5, 0.3, 0.1]), 5)
+            state, ts = step(
+                state, jnp.asarray(np.stack([a0, a1])), jax.random.PRNGKey(t))
+            y_min = min(y_min, float(state.obj_pos[0, 1]))
+            if bool(ts.dones.all()):
+                break
+    assert y_min < goal_y + 0.1, (
+        f"toss reaches only y={y_min:.2f}; goal at y={goal_y:.2f}")
