@@ -240,7 +240,7 @@ class HumanoidState(NamedTuple):
     t: jnp.ndarray
 
 
-def _substep(q, qd, tau):
+def _substep(q, qd, tau, vreg=FRICTION_VREG):
     J = jax.jacfwd(_points)(q)
     vel_of_q = lambda qq: jax.jvp(_points, (qq,), (qd,))[1]
     _, a_bias = jax.jvp(vel_of_q, (q,), (qd,))
@@ -262,7 +262,7 @@ def _substep(q, qd, tau):
     N = CONTACT_K * pen
     Q = Q + jnp.einsum("p,pj->j", N, Jc[:, 2, :])
     D = D + CONTACT_C * jnp.einsum("p,pi,pj->ij", active, Jc[:, 2, :], Jc[:, 2, :])
-    vt = jnp.sqrt(v[:, 0] ** 2 + v[:, 1] ** 2) + FRICTION_VREG
+    vt = jnp.sqrt(v[:, 0] ** 2 + v[:, 1] ** 2) + vreg
     ct = FRICTION_MU * N / vt
     for ax in range(2):
         D = D + jnp.einsum("p,pi,pj->ij", ct, Jc[:, ax, :], Jc[:, ax, :])
@@ -276,11 +276,11 @@ def _com(q):
     return jnp.einsum("p,pi->i", PT_MASS, _points(q)) / TOTAL_MASS
 
 
-def physics_step(q, qd, actions):
+def physics_step(q, qd, actions, vreg=FRICTION_VREG):
     tau = jnp.clip(actions, -CTRL_RANGE, CTRL_RANGE)
     n_total = jnp.zeros(())
     for _ in range(FRAME_SKIP):
-        q, qd, n = _substep(q, qd, tau)
+        q, qd, n = _substep(q, qd, tau, vreg)
         n_total = n_total + n
     return q, qd, n_total / FRAME_SKIP
 
@@ -326,6 +326,11 @@ class HumanoidMAMuJoCo:
         (i,) for i in range(17))
     episode_limit: int = 1000
     standup: bool = False
+    # Ground grip: the regularized-Coulomb vt+vreg denominator halves the
+    # available friction at foot speeds ~vreg, letting the point feet creep
+    # (MuJoCo's LCP contacts are sticky). env_args["friction_vreg"] tightens
+    # it for the balance probes.
+    friction_vreg: float = FRICTION_VREG
     # Per-observation standardization warps the state manifold step-by-step
     # (the normalizer depends on the current obs itself); balance around an
     # unstable equilibrium may need the raw coordinates + the model's own
@@ -381,7 +386,8 @@ class HumanoidMAMuJoCo:
             flat = flat.at[jnp.array(joints)].set(
                 jnp.asarray(actions[i])[: len(joints)])
         com0 = _com(state.q)
-        q, qd, contact_n = physics_step(state.q, state.qd, flat)
+        q, qd, contact_n = physics_step(state.q, state.qd, flat,
+                                        self.friction_vreg)
         # gym v2 semantics: standup's uph_cost divides by opt.timestep
         # (0.003); the walking lin_vel_cost is 0.25*dx/opt.timestep,
         # i.e. 1.25·vel with vel over the full frame-skipped step
@@ -449,4 +455,5 @@ def make_humanoid(env_args: dict) -> HumanoidMAMuJoCo:
         episode_limit=env_args.get("episode_limit", 1000),
         standup=scenario.startswith("HumanoidStandup"),
         obs_standardize=env_args.get("obs_standardize", True),
+        friction_vreg=env_args.get("friction_vreg", FRICTION_VREG),
     )
