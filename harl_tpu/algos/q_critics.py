@@ -185,7 +185,15 @@ class ContinuousQCritic:
         grads = jax.grad(loss_fn)(state.log_alpha)
         updates, new_opt = self.alpha_tx.update(grads, state.alpha_opt_state, state.log_alpha)
         return state._replace(
-            log_alpha=optax.apply_updates(state.log_alpha, updates), alpha_opt_state=new_opt
+            # clamp: when the squashed-Gaussian std hits its -20 floor, logp
+            # jumps to ~+100 and the alpha loop can overflow through the
+            # critic target's alpha*logp term within a few hundred updates
+            # (observed as a NaN cascade at ~700k steps on the stabilized
+            # n20 MPE config); bounding log_alpha breaks the cascade without
+            # affecting normal operation (alpha stays in [1e-7, 7.4])
+            log_alpha=jnp.clip(
+                optax.apply_updates(state.log_alpha, updates), -16.0, 2.0),
+            alpha_opt_state=new_opt
         )
 
     def soft_update_targets(self, state: QCriticState) -> QCriticState:

@@ -639,7 +639,10 @@ class OffPolicyRunner:
                     ag = jax.grad(alpha_loss_fn)(st.log_alpha)
                     au, new_aopt = self.alpha_tx.update(ag, st.alpha_opt_state, st.log_alpha)
                     st = st._replace(
-                        log_alpha=optax.apply_updates(st.log_alpha, au),
+                        # bounded like the critic-side alpha (NaN-cascade
+                        # guard; see q_critics.update_alpha)
+                        log_alpha=jnp.clip(
+                            optax.apply_updates(st.log_alpha, au), -16.0, 2.0),
                         alpha_opt_state=new_aopt,
                     )
                 actors = tuple(st if j == si else actors[j] for j in range(len(actors)))
