@@ -331,6 +331,13 @@ class HumanoidMAMuJoCo:
     # (MuJoCo's LCP contacts are sticky). env_args["friction_vreg"] tightens
     # it for the balance probes.
     friction_vreg: float = FRICTION_VREG
+    # Reference MAMuJoCo observation factorization (obsk.py + the tuned
+    # configs' agent_obsk: 0): each agent observes ONLY its own joints'
+    # local features — joint angle/velocity plus the linked body's pose and
+    # world velocity (the cvel/cinert analogue) — while the centralized
+    # critic sees the full state. None (default) keeps the repo's original
+    # full-state-plus-id per-agent obs.
+    agent_obsk: object = None
     # Per-observation standardization warps the state manifold step-by-step
     # (the normalizer depends on the current obs itself); balance around an
     # unstable equilibrium may need the raw coordinates + the model's own
@@ -348,10 +355,19 @@ class HumanoidMAMuJoCo:
 
     @property
     def obs_dim(self) -> int:
+        if self.agent_obsk is not None:
+            return self.LOCAL_FEATS_PER_JOINT * max(
+                len(g) for g in self.agent_joints)
         return self.state_dim + self.n_agents
 
     @property
     def observation_space(self):
+        if self.agent_obsk is not None:
+            return [
+                spaces.Box.create(
+                    -jnp.inf, jnp.inf, self.LOCAL_FEATS_PER_JOINT * len(g))
+                for g in self.agent_joints
+            ]
         return [spaces.Box.create(-jnp.inf, jnp.inf, self.obs_dim)] * self.n_agents
 
     @property
@@ -422,21 +438,57 @@ class HumanoidMAMuJoCo:
     def _state_vec(self, state: HumanoidState) -> jnp.ndarray:
         return jnp.concatenate([state.q[2:], state.qd]).astype(jnp.float32)
 
+    # per-joint local features (obsk=0 mode): joint angle + velocity plus the
+    # linked body's height, root-relative xy, world velocity and z-axis —
+    # the analogue of the reference's {qpos, qvel, cvel, cinert} body fields
+    LOCAL_FEATS_PER_JOINT = 11
+
+    def _local_obs(self, state: HumanoidState) -> jnp.ndarray:
+        q, qd = state.q, state.qd
+
+        def origins(qq):
+            fr = _body_frames(qq)
+            return jnp.stack(
+                [fr[JOINTS[j][1]][0] for j in range(N_JOINTS)])  # (J, 3)
+
+        O, dO = jax.jvp(origins, (q,), (qd,))
+        frames = _body_frames(q)
+        Rz = jnp.stack(
+            [frames[JOINTS[j][1]][1][:, 2] for j in range(N_JOINTS)])
+        feats = jnp.concatenate([
+            q[6:, None],                     # own joint angle
+            0.1 * qd[6:, None],              # own joint velocity
+            O[:, 2:3],                       # body height
+            O[:, :2] - q[None, :2],          # body xy relative to root
+            0.1 * dO,                        # body world velocity
+            Rz,                              # body orientation z-axis
+        ], axis=1)                           # (J, 11)
+        max_j = max(len(g) for g in self.agent_joints)
+        rows = []
+        for g in self.agent_joints:
+            v = feats[jnp.asarray(g)].reshape(-1)
+            rows.append(jnp.pad(
+                v, (0, self.LOCAL_FEATS_PER_JOINT * max_j - v.shape[0])))
+        return jnp.stack(rows).astype(jnp.float32)  # (N, 11*max_j)
+
     def _timestep(self, state, reward, done, bad) -> TimeStep:
         N = self.n_agents
         sv = self._state_vec(state)
-        ids = jnp.eye(N)
-        obs = jnp.concatenate(
-            [jnp.broadcast_to(sv[None], (N, sv.shape[0])), ids], axis=-1)
-        if self.obs_standardize:
-            mean = jnp.mean(obs, axis=-1, keepdims=True)
-            std = jnp.std(obs, axis=-1, keepdims=True) + 1e-8
-            obs = (obs - mean) / std
+        if self.agent_obsk is not None:
+            obs = self._local_obs(state)
         else:
-            # fixed physical scaling: positions/angles O(1), velocities /10
-            scale = jnp.concatenate(
-                [jnp.ones(DOF - 2), jnp.full(DOF, 0.1), jnp.ones(N)])
-            obs = obs * scale
+            ids = jnp.eye(N)
+            obs = jnp.concatenate(
+                [jnp.broadcast_to(sv[None], (N, sv.shape[0])), ids], axis=-1)
+            if self.obs_standardize:
+                mean = jnp.mean(obs, axis=-1, keepdims=True)
+                std = jnp.std(obs, axis=-1, keepdims=True) + 1e-8
+                obs = (obs - mean) / std
+            else:
+                # fixed physical scaling: positions O(1), velocities /10
+                scale = jnp.concatenate(
+                    [jnp.ones(DOF - 2), jnp.full(DOF, 0.1), jnp.ones(N)])
+                obs = obs * scale
         return TimeStep(
             obs=obs,
             share_obs=sv,
@@ -456,4 +508,5 @@ def make_humanoid(env_args: dict) -> HumanoidMAMuJoCo:
         standup=scenario.startswith("HumanoidStandup"),
         obs_standardize=env_args.get("obs_standardize", True),
         friction_vreg=env_args.get("friction_vreg", FRICTION_VREG),
+        agent_obsk=env_args.get("agent_obsk", None),
     )
