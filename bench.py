@@ -18,7 +18,7 @@ Secondary guard metrics (round-3 verdict Weak #6: the headline is a
 single MLP/EP/on-policy shape) cover the other hot program shapes:
 
   * smaclite_5m6m_recurrent_env_steps_per_s — discrete + avail-masks +
-    recurrent chunked-BPTT FP path (threshold: 40k steps/s);
+    recurrent chunked-BPTT FP path (threshold: 150k steps/s; measured 318k on a shared chip);
   * hasac_halfcheetah6x1_env_steps_per_s — the off-policy collect+train
     block incl. n-step replay sampling (threshold: 50k steps/s).
 
@@ -53,11 +53,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 REFERENCE_FPS = 8000.0  # PyTorch HARL MAMuJoCo rollout throughput estimate
 DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", "480"))
 
-# committed floors for the secondary guard metrics (chip-measured rates with
-# ~40% headroom for run-to-run noise; VALIDATION.md r3 observed 65k smaclite
-# @256 envs in-passing — the bench shape is the tuned 5m_vs_6m FP recurrent)
+# committed floors for the secondary guard metrics, set from chip
+# measurements with >50% headroom (smaclite FP-recurrent full train
+# iteration measured 318k steps/s at 256 envs on a SHARED chip)
 THRESHOLDS = {
-    "smaclite_5m6m_recurrent_env_steps_per_s": 40_000.0,
+    "smaclite_5m6m_recurrent_env_steps_per_s": 150_000.0,
     "hasac_halfcheetah6x1_env_steps_per_s": 50_000.0,
 }
 
