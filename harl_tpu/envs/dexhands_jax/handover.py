@@ -280,6 +280,17 @@ class ShadowHandOver:
     task: str = "ShadowHandOver"
     episode_length: int = 75
     n_agents: int = 2
+    # Arrival-speed shaping (off by default): the round-4 eval probes showed
+    # the catch family's residual failure mode is overshoot scatter past the
+    # receiver (41% of HandOver eval drops arrived in the receiver region but
+    # sailed past/over the finger backstop). A mild speed penalty gated to
+    # the goal neighbourhood — coef * |v| * exp(-20*dist) — prefers low-speed
+    # arrivals (softer lobs) without touching throw discovery: at the start
+    # distance 0.36 the gate is exp(-7.2) ~ 7e-4, and a settled ball pays
+    # nothing. The reference task needs no such term because PhysX hands have
+    # wrist/arm DOFs that can chase and absorb fast arrivals
+    # (shadow_hand_over.py:490-519 reward is pure pose proximity).
+    vel_pen_coef: float = 0.0
     metric_keys = ("won",)
 
     @property
@@ -431,6 +442,10 @@ class ShadowHandOver:
         # return-maximizing — the won=0.02 plateau of round 2.)
         reward = (jnp.sum(jnp.exp(-0.2 * (50.0 * dist + rot)))
                   - 0.0002 * jnp.sum(a ** 2))
+        if self.vel_pen_coef:
+            speed = jnp.linalg.norm(obj_vel, axis=1)
+            reward = reward - self.vel_pen_coef * jnp.sum(
+                speed * jnp.exp(-20.0 * dist))
         # success criterion per task: positional (catch family), rotational
         # (re_orientation, success_tolerance 0.1), or both
         ok_dist, ok_rot = dist < 0.03, rot < 0.1
@@ -594,4 +609,5 @@ def make_handover(env_args: dict) -> ShadowHandOver:
     return ShadowHandOver(
         task=task,
         episode_length=env_args.get("hands_episode_length",
-                                    env_args.get("episode_limit", 75)))
+                                    env_args.get("episode_limit", 75)),
+        vel_pen_coef=float(env_args.get("vel_pen_coef", 0.0)))
