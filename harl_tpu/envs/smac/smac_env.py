@@ -31,12 +31,16 @@ class SMACEnv:
                 "--env smac with backend=native; without them the pure-JAX "
                 "SMACLite analogue (--env smaclite) provides the same maps."
             ) from e
-        kwargs = {"map_name": env_args.get("map_name", "3m")}
+        self._env_cls = StarCraft2Env
+        self._kwargs = {"map_name": env_args.get("map_name", "3m")}
         for k in ("difficulty", "reward_scale", "state_last_action",
                   "obs_last_action", "seed"):
             if k in env_args:
-                kwargs[k] = env_args[k]
-        self.env = StarCraft2Env(**kwargs)
+                self._kwargs[k] = env_args[k]
+        self._build()
+
+    def _build(self):
+        self.env = self._env_cls(**self._kwargs)
         info = self.env.get_env_info()
         self.n_agents = info["n_agents"]
         self.n_actions = info["n_actions"]
@@ -50,7 +54,18 @@ class SMACEnv:
         self._timeouts = 0
 
     def seed(self, seed):
-        self.env.seed(seed)
+        """Re-seed by rebuilding with the new seed kwarg (the SMACv2-adapter
+        pattern): upstream ``smac``'s ``StarCraft2Env.seed()`` takes NO
+        argument (it returns the stored seed) — only the reference's vendored
+        fork accepts one (StarCraft2_Env.py:2247), so calling
+        ``self.env.seed(seed)`` here would TypeError on every HostVecEnv rank
+        (envs/host.py seeds each rank at construction)."""
+        try:
+            self.env.close()
+        except Exception:  # not yet launched / already closed
+            pass
+        self._kwargs["seed"] = seed
+        self._build()
 
     def reset(self):
         self.env.reset()

@@ -223,6 +223,10 @@ def load_smacv2_map_config(map_name: str):
     if not path.exists():
         return None
     cfg = yaml.safe_load(path.read_text())
+    # the yamls carry the FULL StarCraftCapabilityEnvWrapper kwargs (the
+    # real-binary smacv2 adapter splats them directly); the JAX analogue
+    # only consumes the capability_config subtree
+    cfg = cfg.get("capability_config", cfg)
     tg = cfg["team_gen"]
     pool = tuple(SMACV2_UNIT_IDS[u] for u in tg["unit_types"])
     weights = tuple(float(w) for w in tg["weights"])
