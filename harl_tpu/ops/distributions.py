@@ -108,7 +108,16 @@ def diag_gaussian_std(log_std: jnp.ndarray, std_x_coef: float, std_y_coef: float
 # Tanh-squashed Gaussian (HASAC Box actions)
 # ---------------------------------------------------------------------------
 
-LOG_STD_MIN = -20.0
+# The reference clamps log_std to [-20, 2] (squashed_gaussian_policy.py:10).
+# A -20 floor lets the Gaussian density term spike to ~ +20/dim when the std
+# head saturates, which is what overflowed the HASAC auto-alpha loop in the
+# (reference-twin-confirmed, round-4) n_step=20 divergence. The floor here is
+# -5 (std >= 6.7e-3): healthy SAC policies sit at std ~0.1-0.3 (log_std -1
+# to -2.3) so the tighter floor binds ONLY in the saturated pathological
+# regime, where it bounds per-dim logp at ~ +4.1 instead of +19 — the
+# source-side guard the round-4 verdict asked for, complementing (not
+# replacing) the critic-side log-alpha clamp (q_critics.py).
+LOG_STD_MIN = -5.0
 LOG_STD_MAX = 2.0
 
 

@@ -222,3 +222,30 @@ class TestValueNorm:
         y = normalize(state, jnp.asarray([[3.1]]))
         # var clamped at 1e-2 → std 0.1 → (3.1-3)/0.1 = 1
         np.testing.assert_allclose(float(y[0, 0]), 1.0, rtol=1e-3)
+
+
+class TestSquashedGaussianStdFloor:
+    """Round-5 source-side guard for the HASAC logp spike (r4 weak #6)."""
+
+    def test_saturated_head_logp_bounded(self):
+        # a std head saturated far below the floor must not produce the
+        # ~ +20/dim density spike that overflowed the auto-alpha loop
+        key = jax.random.PRNGKey(0)
+        mu = jnp.zeros((64, 6))
+        log_std = jnp.full((64, 6), -20.0)
+        s = D.squashed_gaussian_sample(key, mu, log_std, 1.0)
+        # per-dim density at the floor is -LOG_STD_MIN - log sqrt(2pi)
+        # ~ 4.08; tanh correction only subtracts. 6 dims -> < 25.
+        assert float(np.max(np.asarray(s.log_prob))) < 6 * 4.2
+
+    def test_floor_inert_in_healthy_regime(self):
+        # above the floor the sample/logp path is numerically identical to
+        # the reference's [-20, 2] clamp (healthy SAC stds are 0.1-0.3)
+        key = jax.random.PRNGKey(3)
+        mu = jnp.array([[0.4, -1.2, 0.0]])
+        log_std = jnp.array([[-2.3, -1.0, 0.7]])
+        got = D.squashed_gaussian_sample(key, mu, log_std, 2.0)
+        ref = D.squashed_gaussian_sample(
+            key, mu, jnp.clip(log_std, -20.0, 2.0), 2.0)
+        np.testing.assert_array_equal(np.asarray(got.action), np.asarray(ref.action))
+        np.testing.assert_array_equal(np.asarray(got.log_prob), np.asarray(ref.log_prob))
