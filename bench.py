@@ -49,9 +49,16 @@ import threading
 import time
 
 sys.path.insert(0, ".")
-# persistent compile cache — sitecustomize may have imported jax already, so
-# the env var alone is ignored; set the live config too
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# Persistent compile cache — sitecustomize may have imported jax already, so
+# the env var alone is ignored; set the live config too. bench has its OWN
+# cache dir (bench_cache/, committed to the repo): remote-tunnel compiles of
+# the three bench programs cost 250s+ cold — more than the driver's 480s
+# deadline allows for all three phases (round-4: the smaclite guard phase
+# STARTED at +421.8s and never emitted) — so the repo ships the warm entries
+# and a cold MACHINE is no longer a cold CACHE. scripts/warm_bench_cache.sh
+# regenerates the entries after any runner/model change.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REFERENCE_FPS = 8000.0  # PyTorch HARL MAMuJoCo rollout throughput estimate
@@ -71,8 +78,12 @@ THRESHOLDS = {
 
 # Best-so-far headline measurement, mutated by the timing loop and read by
 # the deadline thread.  fps is None until at least one timing block completes.
-_best = {"fps": None, "blocks": 0, "total_blocks": 3}
+_best = {"fps": None, "blocks": 0, "total_blocks": 3, "mfu": None}
 _done = False
+# secondaries not yet emitted — the deadline path prints a {skipped: true}
+# record for each so "guard passed" vs "guard never ran" is machine-
+# detectable from the output alone (round-4 advisor finding)
+_pending_secondaries = set(THRESHOLDS)
 
 
 def _log(msg):
@@ -87,6 +98,8 @@ def _emit(fps, partial=False):
         "unit": "env-steps/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
     }
+    if _best["mfu"] is not None:
+        rec["est_mfu"] = _best["mfu"]
     if partial:
         # deadline fired before the timing loop finished: mark the record so
         # a parser can tell a best-effort 3-iter figure from a clean 33-iter
@@ -97,6 +110,7 @@ def _emit(fps, partial=False):
 
 
 def _emit_secondary(metric, fps):
+    _pending_secondaries.discard(metric)
     print(
         json.dumps(
             {
@@ -105,6 +119,21 @@ def _emit_secondary(metric, fps):
                 "unit": "env-steps/s",
                 "threshold": THRESHOLDS[metric],
                 "pass": fps >= THRESHOLDS[metric],
+            }
+        ),
+        flush=True,
+    )
+
+
+def _emit_skipped(metric, reason):
+    _pending_secondaries.discard(metric)
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "skipped": True,
+                "reason": reason,
+                "threshold": THRESHOLDS[metric],
             }
         ),
         flush=True,
@@ -124,6 +153,8 @@ def _deadline():
             f"{'best-effort partial' if partial else 'completed headline'} "
             f"result from {_best['blocks']} timing block(s)"
         )
+        for metric in sorted(_pending_secondaries):
+            _emit_skipped(metric, f"deadline {DEADLINE_S}s fired first")
         _emit(_best["fps"], partial=partial)
         os._exit(0 if not partial else 4)
     _log(
@@ -199,6 +230,22 @@ def _measure_headline(jax):
             f"{block * steps_per_iter / dt:,.0f} steps/s "
             f"(reported {_best['fps']:,.0f})"
         )
+    # Estimated MFU (round-4 verdict: steps/s alone hides arithmetic
+    # intensity): XLA's own per-iteration flop count against the v5e bf16
+    # peak (197 TFLOP/s). RL training at tiny MLP widths is bandwidth/latency
+    # -bound, so single-digit-% is the expected magnitude — the number exists
+    # to make arithmetic intensity comparable across rounds, not to look big.
+    try:
+        ca = runner._train_iteration.lower(state).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca["flops"])
+        peak = 197e12
+        _best["mfu"] = round(flops * (_best["fps"] / steps_per_iter) / peak, 5)
+        _log(f"cost_analysis flops/iter={flops:.3e} → est MFU "
+             f"{_best['mfu']:.3%} of bf16 peak")
+    except Exception as e:  # pragma: no cover - cost model availability varies
+        _log(f"MFU estimate unavailable: {type(e).__name__}: {e}")
     return _best["fps"]
 
 
@@ -283,7 +330,9 @@ def main():
     _log("importing jax...")
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # the env var alone is ignored when sitecustomize already imported jax —
+    # point the LIVE config at the committed bench cache dir too
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     _log("claiming device...")
@@ -292,15 +341,26 @@ def main():
 
     headline = _measure_headline(jax)
 
-    # secondary guard metrics — failures/wedges here never cost the headline
+    # Secondary guard metrics — failures/wedges here never cost the headline.
+    # Each phase needs ~60s warm-cache (~300s cold); starting one the deadline
+    # would cut mid-compile wastes the remaining budget, so gate on time left
+    # and emit an explicit skipped record instead of silence.
+    SECONDARY_MIN_BUDGET_S = 45
     for name, fn in (
         ("smaclite_5m6m_recurrent_env_steps_per_s", _measure_smaclite),
         ("hasac_halfcheetah6x1_env_steps_per_s", _measure_hasac),
     ):
+        remaining = DEADLINE_S - (time.time() - T0)
+        if remaining < SECONDARY_MIN_BUDGET_S:
+            _log(f"skipping {name}: {remaining:.0f}s left < "
+                 f"{SECONDARY_MIN_BUDGET_S}s budget")
+            _emit_skipped(name, f"{remaining:.0f}s budget left")
+            continue
         try:
             _emit_secondary(name, fn(jax))
         except Exception as e:  # pragma: no cover - defensive
             _log(f"secondary bench {name} FAILED: {type(e).__name__}: {e}")
+            _emit_skipped(name, f"{type(e).__name__}: {e}")
 
     _done = True
     _timer.cancel()
