@@ -139,6 +139,7 @@ def test_vmap_batched():
     assert bool(jnp.all(jnp.isfinite(ts2.obs)))
 
 
+@pytest.mark.slow
 def test_happo_trains_on_soccer():
     from harl_tpu.runners.on_policy import OnPolicyRunner
     from harl_tpu.utils.config_tools import get_defaults_yaml_args
@@ -156,6 +157,7 @@ def test_happo_trains_on_soccer():
     assert np.isfinite(float(metrics["value_loss"]))
 
 
+@pytest.mark.slow
 def test_pixel_representation_trains_cnn():
     """representation: pixels → (24, 32, 4) SMM rasters through CNNBase
     (the football pixel path, football_env.py:132-154)."""

@@ -1,5 +1,6 @@
 """Pure-JAX many-agent swimmer tests."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,6 +61,7 @@ def test_truncation_only_episodes():
     assert bool(ts.dones.all()) and bool(ts.bad_transition)
 
 
+@pytest.mark.slow
 def test_happo_trains_on_swimmer():
     from harl_tpu.runners.on_policy import OnPolicyRunner
     from tests.test_happo import _cfg
