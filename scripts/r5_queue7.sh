@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-5 phase 7 (after 5b): (a) solo warm-cache bench verification at the
+# driver's default 480s deadline — the warm-up run's hasac guard read 989.6
+# vs the 1000 floor while sharing the 2-core host with the fast-tier pytest
+# run and the CPU twin probe; this run must be solo to be meaningful;
+# (b) the two catch-family members still without any round-4/5 curve:
+# CatchOver2Underarm (drop task) and MetaMT1 (catch_underarm + goal noise).
+cd /root/repo
+LOG=results/validation_r5
+mkdir -p $LOG
+while ! grep -q R5_PHASE5B_DONE $LOG/queue.out 2>/dev/null; do sleep 30; done
+run() {
+  name=$1; tmo=$2; shift 2
+  LOGF=$LOG/$name.log
+  if [ -e "$LOGF" ]; then LOGF=$LOG/${name}_$(date +%s).log; fi
+  echo "=== $name start $(date +%T) ===" >> $LOG/queue.out
+  timeout "$tmo" "$@" > $LOGF 2>&1
+  rc=$?
+  echo "=== $name rc=$rc $(date +%T) ===" >> $LOG/queue.out
+  if [ $rc -ne 0 ]; then echo "RUN FAILED rc=$rc" >> $LOGF; fi
+}
+
+run bench_warm_verify 600 python bench.py
+
+EVAL="--use_eval True --n_eval_rollout_threads 256 --eval_episodes 256"
+CATCH="--algo happo --env dexhands_jax --n_rollout_threads 256
+  --episode_length 75 --entropy_coef 0.01 --gamma 0.95
+  --eval_interval 480 --log_interval 320"
+HS='--hidden_sizes'
+HSV='[256, 256, 256]'
+
+run dex_r5over2under 2400 python -m harl_tpu.train $CATCH $HS "$HSV" $EVAL \
+  --task ShadowHandCatchOver2Underarm --exp_name r5over2under \
+  --use_linear_lr_decay True --vel_pen_coef 0.05 --num_env_steps 300000000
+run dex_r5metamt1 2400 python -m harl_tpu.train $CATCH $HS "$HSV" $EVAL \
+  --task ShadowHandMetaMT1 --exp_name r5metamt1 \
+  --use_linear_lr_decay True --vel_pen_coef 0.05 --num_env_steps 300000000
+
+echo R5_PHASE7_DONE >> $LOG/queue.out
