@@ -29,10 +29,20 @@ def restore_state(path: str, abstract_state: Any) -> Any:
 
 
 def latest_checkpoint(save_dir: str):
+    """Newest ``ckpt_<step>`` under ``save_dir``.
+
+    Accepts either the checkpoint directory itself or a RUN directory (the
+    ``results saved under <run_dir>`` path train.py prints, whose checkpoints
+    live in ``<run_dir>/models/`` — the layout users naturally pass as
+    ``--model_dir``, mirroring the reference's restore path convention,
+    on_policy_base_runner.py:742-763)."""
     if not os.path.isdir(save_dir):
         return None
     ckpts = [d for d in os.listdir(save_dir) if d.startswith("ckpt_")]
     if not ckpts:
+        models = os.path.join(save_dir, "models")
+        if os.path.isdir(models):
+            return latest_checkpoint(models)
         return None
     latest = max(ckpts, key=lambda d: int(d.split("_")[1]))
     return os.path.join(save_dir, latest)

@@ -95,6 +95,21 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(orig), np.asarray(got))
 
 
+def test_latest_checkpoint_accepts_run_dir(tmp_path):
+    # users pass the printed run dir as --model_dir; its checkpoints live in
+    # <run_dir>/models/ (run() saves there) — both spellings must resolve
+    from harl_tpu.utils.checkpoint import latest_checkpoint
+
+    models = tmp_path / "models"
+    for step in (10, 200, 30):
+        (models / f"ckpt_{step}").mkdir(parents=True)
+    assert latest_checkpoint(str(models)).endswith("ckpt_200")
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt_200")
+    assert latest_checkpoint(str(tmp_path / "nope")) is None
+    (tmp_path / "empty").mkdir()
+    assert latest_checkpoint(str(tmp_path / "empty")) is None
+
+
 def test_cli_parse_unknown():
     from harl_tpu.train import _parse_unknown
 
