@@ -993,8 +993,16 @@ class OnPolicyRunner:
 
     def restore(self, state, model_dir: str):
         """Load the latest checkpoint under model_dir (on_policy_base_runner
-        restore, :742-763 — here the FULL train state resumes)."""
-        from harl_tpu.utils.checkpoint import latest_checkpoint, restore_state
+        restore, :742-763 — here the FULL train state resumes). When the
+        checkpoint's non-param pytrees don't match the live run's (e.g. a
+        different optimizer chain: lr-decay on vs off, or a different env's
+        carry — the transfer-learning case), falls back to the reference's
+        own semantic: params + value-norm only, fresh everything else."""
+        from harl_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            restore_params_into,
+            restore_state,
+        )
 
         path = latest_checkpoint(model_dir) or model_dir
         abstract = jax.tree.map(
@@ -1002,7 +1010,13 @@ class OnPolicyRunner:
             jax.device_get(state),
         )
         print(f"restoring train state from {path}")
-        return restore_state(path, abstract)
+        try:
+            return restore_state(path, abstract)
+        except ValueError as e:
+            print(f"full-state resume structure mismatch ({type(e).__name__});"
+                  " falling back to params-only restore (reference model_dir"
+                  " semantics: network params + value-norm, fresh optimizer)")
+            return restore_params_into(path, state)
 
     # ------------------------------------------------------------------- run
     def run(self, seed: int = 1, log_fn=None, logger=None, save_dir=None, mesh=None):

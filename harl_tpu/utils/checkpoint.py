@@ -28,6 +28,39 @@ def restore_state(path: str, abstract_state: Any) -> Any:
     return ckptr.restore(os.path.abspath(path), abstract_state)
 
 
+def restore_params_into(path: str, state: Any) -> Any:
+    """Params-only restore: the reference's actual ``model_dir`` semantic
+    (on_policy_base_runner.py:742-763 loads actor/critic state_dicts only).
+
+    Grafts the checkpoint's network params — plus the value-norm statistics,
+    which must stay consistent with the restored critic head — onto the
+    freshly-initialized ``state``, keeping optimizer state, env carry and rng
+    fresh. This is the transfer-learning path: it works across runs whose
+    optimizer pytrees differ (e.g. lr-decay on vs off), where the full-state
+    resume raises a structure mismatch."""
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(os.path.abspath(path))
+
+    def graft(cur, new):
+        # tree_map validates the (params-sub)tree structures match
+        return jax.tree.map(
+            lambda c, n: jax.numpy.asarray(n, c.dtype), cur, new)
+
+    actors = tuple(
+        a._replace(params=graft(a.params, raw["actors"][i]["params"]))
+        for i, a in enumerate(state.actors))
+    critic = state.critic._replace(
+        params=graft(state.critic.params, raw["critic"]["params"]))
+    value_norm = state.value_norm
+    if value_norm is not None and raw.get("value_norm") is not None:
+        # NamedTuple on the live side, plain dict in the raw checkpoint
+        value_norm = value_norm._replace(**{
+            k: jax.numpy.asarray(v, getattr(value_norm, k).dtype)
+            for k, v in raw["value_norm"].items()})
+    return state._replace(actors=actors, critic=critic,
+                          value_norm=value_norm)
+
+
 def latest_checkpoint(save_dir: str):
     """Newest ``ckpt_<step>`` under ``save_dir``.
 

@@ -3,8 +3,10 @@
 # driver's default 480s deadline — the warm-up run's hasac guard read 989.6
 # vs the 1000 floor while sharing the 2-core host with the fast-tier pytest
 # run and the CPU twin probe; this run must be solo to be meaningful;
-# (b) the two catch-family members still without any round-4/5 curve:
-# CatchOver2Underarm (drop task) and MetaMT1 (catch_underarm + goal noise).
+# (b) the remaining PUBLISHED dexhands anchors: the reference's headline
+# figure (assets/dexhands_learning_curve.jpg) plots exactly ShadowHandOver,
+# CatchOver2Underarm and ShadowHandPen — Over is solved, the other two have
+# no trained repo curve yet; (c) MetaMT1 if time allows.
 cd /root/repo
 LOG=results/validation_r5
 mkdir -p $LOG
@@ -32,6 +34,19 @@ HSV='[256, 256, 256]'
 run dex_r5over2under 2400 python -m harl_tpu.train $CATCH $HS "$HSV" $EVAL \
   --task ShadowHandCatchOver2Underarm --exp_name r5over2under \
   --use_linear_lr_decay True --vel_pen_coef 0.05 --num_env_steps 300000000
+run dex_r5pen 2400 python -m harl_tpu.train \
+  --load_config tuned_configs/dexhands_jax/ShadowHandPen/happo/config.json \
+  --exp_name r5pen $EVAL --use_linear_lr_decay True \
+  --num_env_steps 150000000 --eval_interval 480 --log_interval 320
+# fine-tune retry #2 via the params-only restore fallback (4524923 + the
+# restore_params_into graft; driven green on CPU against this checkpoint)
+S3DIR=$(grep -oP "results saved under \K\S+" $LOG/dex_r5long_s3.log | head -1)
+if [ -n "$S3DIR" ]; then
+  run dex_r5catch_ft2 2400 python -m harl_tpu.train $CATCH $HS "$HSV" $EVAL \
+    --task ShadowHandCatchUnderarm --exp_name r5catch_ft2 \
+    --vel_pen_coef 0.05 --num_env_steps 600000000 --model_dir "$S3DIR"
+fi
+
 run dex_r5metamt1 2400 python -m harl_tpu.train $CATCH $HS "$HSV" $EVAL \
   --task ShadowHandMetaMT1 --exp_name r5metamt1 \
   --use_linear_lr_decay True --vel_pen_coef 0.05 --num_env_steps 300000000

@@ -95,6 +95,36 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(orig), np.asarray(got))
 
 
+def test_restore_params_only_across_optimizer_chains(tmp_path):
+    # transfer-learning path: donor saved with lr decay ON (extra schedule
+    # state in the optax chain), target runs with decay OFF — full-state
+    # resume raises a structure mismatch, restore() must fall back to
+    # grafting params + value-norm onto the fresh state
+    from harl_tpu.utils.checkpoint import save_state
+
+    cfg = _cfg()
+    cfg["train"]["use_linear_lr_decay"] = True
+    donor = _mk("happo", extra_cfg=cfg)
+    donor_state = donor.init_state(7)
+    save_state(str(tmp_path / "models"), donor_state, 99)
+
+    target = _mk("happo")
+    fresh = target.init_state(0)
+    restored = target.restore(fresh, str(tmp_path))
+
+    d = np.asarray(jax.tree_util.tree_leaves(donor_state.actors[0].params)[0])
+    got = np.asarray(jax.tree_util.tree_leaves(restored.actors[0].params)[0])
+    np.testing.assert_allclose(d, got)
+    # optimizer state stays the target's own (fresh), not the donor's
+    assert jax.tree_util.tree_structure(
+        restored.actors[0].opt_state
+    ) == jax.tree_util.tree_structure(fresh.actors[0].opt_state)
+    if restored.value_norm is not None:
+        np.testing.assert_allclose(
+            np.asarray(restored.value_norm.debiasing_term),
+            np.asarray(donor_state.value_norm.debiasing_term))
+
+
 def test_latest_checkpoint_accepts_run_dir(tmp_path):
     # users pass the printed run dir as --model_dir; its checkpoints live in
     # <run_dir>/models/ (run() saves there) — both spellings must resolve
