@@ -291,6 +291,15 @@ class ShadowHandOver:
     # wrist/arm DOFs that can chase and absorb fast arrivals
     # (shadow_hand_over.py:490-519 reward is pure pose proximity).
     vel_pen_coef: float = 0.0
+    # Gate width of the arrival-speed penalty: coef * |v| * exp(-width*dist).
+    # The r5 behavioral probe of the best CatchUnderarm policy showed its
+    # failures are OVERSHOOT (97% of throws reach the receiver region, failed
+    # balls sail a median ~1 m past it, fail min-dist median 0.12 m): at the
+    # default width 20 a fast pass-by at 12 cm sees gate exp(-2.4) ~ 0.09 and
+    # pays almost nothing. Width ~8 makes the pass-by pay (gate 0.38 at
+    # 12 cm) while the release point at the 0.45 m start distance still sees
+    # only exp(-3.6) ~ 0.03 — throw discovery keeps its income.
+    vel_pen_width: float = 20.0
     metric_keys = ("won",)
 
     @property
@@ -445,7 +454,7 @@ class ShadowHandOver:
         if self.vel_pen_coef:
             speed = jnp.linalg.norm(obj_vel, axis=1)
             reward = reward - self.vel_pen_coef * jnp.sum(
-                speed * jnp.exp(-20.0 * dist))
+                speed * jnp.exp(-self.vel_pen_width * dist))
         # success criterion per task: positional (catch family), rotational
         # (re_orientation, success_tolerance 0.1), or both
         ok_dist, ok_rot = dist < 0.03, rot < 0.1
@@ -610,4 +619,5 @@ def make_handover(env_args: dict) -> ShadowHandOver:
         task=task,
         episode_length=env_args.get("hands_episode_length",
                                     env_args.get("episode_limit", 75)),
-        vel_pen_coef=float(env_args.get("vel_pen_coef", 0.0)))
+        vel_pen_coef=float(env_args.get("vel_pen_coef", 0.0)),
+        vel_pen_width=float(env_args.get("vel_pen_width", 20.0)))

@@ -312,3 +312,36 @@ def test_catch_underarm_toss_range_reaches_goal():
                 break
     assert y_min < goal_y + 0.1, (
         f"toss reaches only y={y_min:.2f}; goal at y={goal_y:.2f}")
+
+
+def test_vel_pen_width_controls_passby_cost():
+    # r5 overshoot diagnosis: a fast ball PASSING 12 cm from the goal must
+    # pay a real penalty under a wide gate (width 8) while the narrow
+    # default (width 20) barely notices it; and at the 0.45 m release
+    # distance the wide gate must stay negligible (throw discovery intact)
+    import dataclasses
+
+    narrow = make_handover({"task": "ShadowHandCatchUnderarm",
+                            "vel_pen_coef": 0.1})
+    wide = make_handover({"task": "ShadowHandCatchUnderarm",
+                          "vel_pen_coef": 0.1, "vel_pen_width": 8.0})
+    assert narrow.vel_pen_width == 20.0 and wide.vel_pen_width == 8.0
+
+    state, _ = wide.reset(jax.random.PRNGKey(0))
+    # place the ball 12 cm short of the goal, moving fast
+    passby = state._replace(
+        obj_pos=state.goal_pos + jnp.array([[0.0, 0.12, 0.0]]),
+        obj_vel=jnp.full((1, 3), 3.0 / jnp.sqrt(3.0)))
+    zero = jnp.zeros((2, 20))
+    key = jax.random.PRNGKey(1)
+    _, ts_wide = jax.jit(wide.step)(passby, zero, key)
+    _, ts_narrow = jax.jit(narrow.step)(passby, zero, key)
+    # same physics, same income — reward difference is purely the gate
+    assert float(ts_narrow.rewards[0, 0]) - float(ts_wide.rewards[0, 0]) > 0.04
+
+    # at the release distance (~0.45 m) the wide gate costs < 0.01
+    release = state._replace(obj_vel=jnp.full((1, 3), 3.0 / jnp.sqrt(3.0)))
+    _, ts_rel_wide = jax.jit(wide.step)(release, zero, key)
+    nopen = make_handover({"task": "ShadowHandCatchUnderarm"})
+    _, ts_rel_nopen = jax.jit(nopen.step)(release, zero, key)
+    assert float(ts_rel_nopen.rewards[0, 0]) - float(ts_rel_wide.rewards[0, 0]) < 0.01
