@@ -63,6 +63,9 @@ FRICTION_MU = 1.0
 
 HANDLE_R = 0.025
 TABLE_Z = -0.05
+# table-task hand mount offset (see _hand): gives the fingertips ~7 mm of
+# working margin below the smallest object's rest height instead of -0.8 mm
+TABLE_HAND_DZ = -0.025
 
 # task configs ---------------------------------------------------------------
 # hands: palm-up, facing each other across the workspace origin
@@ -253,7 +256,18 @@ class ShadowHandManip:
 
     def _hand(self, h: int):
         c = self._cfg
-        return np.asarray(c["hand_pos"][h]), c["fwd"][h], c["up"][h]
+        pos = np.asarray(c["hand_pos"][h])
+        # table tasks mount the hands lower: the fingertip envelope bottoms
+        # out at z ≈ -0.032 from the z=0 mount, which leaves the smallest
+        # table object (Pen cap, r=0.02 resting at z=-0.03) geometrically
+        # unreachable (min tip→center distance 0.0328 vs the 0.032 contact
+        # threshold — measured over 20k random joint configs). The hinge
+        # tasks keep the z=0 mount their validated door curves used
+        # (handle at z=+0.05). Reference mounts the hands above a table and
+        # points them down (bidexhands shadow_hand_pen.py table asset).
+        if c["kind"] == "table":
+            pos = pos + np.array([0.0, 0.0, TABLE_HAND_DZ])
+        return pos, c["fwd"][h], c["up"][h]
 
     # ------------------------------------------------------------- geometry
     def _handles(self, theta):

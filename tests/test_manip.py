@@ -96,3 +96,36 @@ def test_happo_trains_on_door():
     )
     state, history = runner.run(seed=1)
     assert np.isfinite(history[-1]["mean_episode_return"])
+
+
+def test_table_objects_within_fingertip_reach():
+    """Every table object at rest must be reachable by some joint config.
+
+    Regression anchor for the round-5 Pen finding: with the hands mounted
+    at z=0 the fingertip envelope bottomed out at z=-0.032, leaving the
+    smallest object (Pen cap, r=0.02 at rest z=-0.03) unreachable by
+    0.8 mm -- RL trained 150M steps on a task with no achievable contact
+    (flat return -39.3). Table tasks now mount the hands TABLE_HAND_DZ
+    lower; this sweep proves >=5 mm of contact margin for every object.
+    """
+    from harl_tpu.envs.dexhands_jax.manip import (
+        MANIP_TASKS, TIP_RADIUS, TABLE_Z, FLEX_LO, FLEX_HI, _fingertips)
+
+    ths = jax.random.uniform(jax.random.PRNGKey(0), (20000, 20),
+                             minval=-1, maxval=1)
+    t = ths.reshape(-1, 5, 4)
+    t = jnp.concatenate(
+        [t[..., :1], FLEX_LO + (t[..., 1:] + 1) * 0.5 * (FLEX_HI - FLEX_LO)],
+        -1).reshape(-1, 20)
+    for task, cfg in MANIP_TASKS.items():
+        if cfg["kind"] != "table":
+            continue
+        env = make_manip({"task": task})
+        for h in range(2):
+            pos, fwd, up = env._hand(h)
+            tips = jax.vmap(lambda th: _fingertips(th, pos, fwd, up))(t)
+            for o, r in enumerate(cfg["radii"]):
+                rest = np.array([cfg["starts"][o][0], cfg["starts"][o][1],
+                                 TABLE_Z + r])
+                dmin = float(jnp.min(jnp.linalg.norm(tips - rest, axis=-1)))
+                assert dmin < r + TIP_RADIUS - 0.005, (task, h, o, dmin)
